@@ -1,0 +1,128 @@
+"""Checkpoint save/restore.
+
+Capability parity with ref ``AIQMCrelease3/checkpoint.py`` (find_last_checkpoint /
+create_save_path / get_restore_path / save / restore), with the pickle fragility
+fixed: the reference ``np.savez``-pickles raw JAX arrays (checkpoint.py:44-60),
+which breaks across JAX versions (its own committed checkpoints no longer load).
+Here parameter/optimizer pytrees are serialised with flax msgpack (pure
+arrays + container structure, version-stable) and walker data fields are stored
+as plain npz arrays.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import zipfile
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from absl import logging
+from flax import serialization
+
+from aiqmc_tpu.models.network import AINetData
+
+CKPT_PREFIX = "qmcjax_ckpt_"
+
+
+def find_last_checkpoint(ckpt_path: Optional[str] = None) -> Optional[str]:
+    """Most recent loadable checkpoint in a directory (ref checkpoint.py:13-24)."""
+    if ckpt_path and os.path.exists(ckpt_path):
+        files = [f for f in os.listdir(ckpt_path) if CKPT_PREFIX in f]
+        for file in sorted(files, reverse=True):
+            fname = os.path.join(ckpt_path, file)
+            with open(fname, "rb") as f:
+                try:
+                    np.load(f, allow_pickle=False)
+                    return fname
+                except (OSError, EOFError, zipfile.BadZipFile, ValueError):
+                    logging.info(
+                        "Error loading checkpoint %s. Trying next checkpoint...",
+                        fname)
+    return None
+
+
+def create_save_path(save_path: Optional[str]) -> str:
+    """Timestamped default save dir (ref checkpoint.py:27-33)."""
+    timestamp = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    default_save_path = os.path.join(os.getcwd(), f"AInet_{timestamp}")
+    ckpt_save_path = save_path or default_save_path
+    os.makedirs(ckpt_save_path, exist_ok=True)
+    return ckpt_save_path
+
+
+def get_restore_path(restore_path: Optional[str] = None) -> Optional[str]:
+    return restore_path or None
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save(save_path: str, t: int, data: AINetData, params, opt_state,
+         extra: Optional[dict] = None) -> str:
+    """Writes qmcjax_ckpt_{t:06d}.npz (ref checkpoint.py:44-60, stable format)."""
+    ckpt_filename = os.path.join(save_path, f"{CKPT_PREFIX}{t:06d}.npz")
+    logging.info("Saving checkpoint %s", ckpt_filename)
+    payload = {
+        "t": t,
+        "positions": np.asarray(data.positions),
+        "spins": np.asarray(data.spins),
+        "atoms": np.asarray(data.atoms),
+        "charges": np.asarray(data.charges),
+        "params_msgpack": np.frombuffer(
+            serialization.to_bytes(_to_host(params)), dtype=np.uint8),
+        # Optimizer states may be arbitrary pytrees (optax namedtuples, custom
+        # dataclasses like KfacState); store their leaves — the restore target
+        # supplies the structure.
+        "opt_state_msgpack": np.frombuffer(
+            serialization.to_bytes(
+                {str(i): leaf for i, leaf in enumerate(
+                    jax.tree_util.tree_leaves(_to_host(opt_state)))}),
+            dtype=np.uint8),
+    }
+    for key, value in (extra or {}).items():
+        payload["extra_" + key] = np.asarray(value)
+    with open(ckpt_filename, "wb") as f:
+        np.savez(f, **payload)
+    return ckpt_filename
+
+
+def restore(restore_filename: str,
+            batch_size: Optional[int] = None,
+            target_params=None,
+            target_opt_state=None) -> Tuple[int, AINetData, object, object]:
+    """Loads a checkpoint, resuming at t+1 (ref checkpoint.py:63-71).
+
+    If target pytrees are given, the msgpack payloads are restored into their
+    exact container structure; otherwise nested dicts/lists of arrays are
+    returned.
+    """
+    logging.info("Loading checkpoint %s", restore_filename)
+    with open(restore_filename, "rb") as f:
+        ckpt = np.load(f, allow_pickle=False)
+        t = int(ckpt["t"]) + 1
+        data = AINetData(
+            positions=ckpt["positions"],
+            spins=ckpt["spins"],
+            atoms=ckpt["atoms"],
+            charges=ckpt["charges"])
+        params_bytes = ckpt["params_msgpack"].tobytes()
+        opt_bytes = ckpt["opt_state_msgpack"].tobytes()
+        if target_params is not None:
+            params = serialization.from_bytes(target_params, params_bytes)
+        else:
+            params = serialization.msgpack_restore(params_bytes)
+        leaf_dict = serialization.msgpack_restore(opt_bytes)
+        leaves = [leaf_dict[str(i)] for i in range(len(leaf_dict))]
+        if target_opt_state is not None:
+            treedef = jax.tree_util.tree_structure(target_opt_state)
+            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        else:
+            opt_state = leaves
+    if batch_size is not None and data.positions.shape[0] != batch_size:
+        raise ValueError(
+            f"Checkpoint batch size {data.positions.shape[0]} does not match"
+            f" requested batch size {batch_size}.")
+    return t, data, params, opt_state

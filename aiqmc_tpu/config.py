@@ -1,0 +1,112 @@
+"""Default configuration tree.
+
+ConfigDict-based system in the style of the vendored ferminet config
+(ref ferminet/base_config.py:36-297), carrying the AIQMC physics options (Y_nlm
+stream, flexible-Gaussian envelope, ccECP tables, drift-diffusion sampler). The
+reference AIQMC trees use bare keyword arguments to ``main(...)``
+(ref main/main_pp_adam_muti_GPU.py:27-52); ``aiqmc_tpu.train.main`` remains as a
+keyword-compatible wrapper that populates this config.
+"""
+
+from __future__ import annotations
+
+import ml_collections
+
+
+def default() -> ml_collections.ConfigDict:
+    cfg = ml_collections.ConfigDict({
+        "batch_size": 256,             # global walker count across all chips
+        "optim": {
+            "iterations": 100,
+            "optimizer": "adam",        # adam | kfac | none
+            # rate / (1 + t/delay)^decay. NOTE: the reference hardcodes
+            # delay=1.0, decay=10000 (main_pp_adam_muti_GPU.py:158-159), which
+            # collapses the LR to 0.5^10000 = 0 after the first step — training
+            # freezes at the init wavefunction. We default to the upstream
+            # FermiNet schedule (ferminet/base_config.py lr: delay=1e4, decay=1).
+            "lr": {
+                "rate": 0.05,
+                "delay": 10000.0,
+                "decay": 1.0,
+            },
+            "adam": {"b1": 0.9, "b2": 0.999, "eps": 1e-8, "eps_root": 0.0},
+            "kfac": {
+                "damping": 1e-3,
+                "cov_ema_decay": 0.95,
+                "norm_constraint": 1e-3,
+                "min_damping": 1e-4,
+                "lr": {"rate": 0.05, "delay": 10000.0},
+                "momentum": 0.0,
+                "update_period": 1,
+            },
+            "clip_local_energy": 5.0,
+            "clip_from_median": True,
+            "center_at_clipped_energy": True,
+            "objective": "vmc",         # vmc | wqmc
+            "laplacian_chunk": None,    # coordinates per Laplacian chunk
+        },
+        "network": {
+            "hidden_dims": ((32, 16), (32, 16), (32, 16)),
+            "hidden_dims_ynlm": (8, 8, 8),
+            "determinants": 1,
+            "bias_orbitals": True,
+            "rescale_inputs": False,
+            "complex_orbitals": False,  # TPU backend lacks complex64; see models.network
+            "full_equivariance": True,  # exactly antisymmetric variant
+            "bounded_envelope": True,   # decaying-everywhere envelope (see models.envelope)
+            "regular_harmonics": True,  # smooth solid harmonics (see models.harmonics)
+        },
+        "mcmc": {
+            "algorithm": "drift_diffusion",  # drift_diffusion | random_walk
+            "tstep": 0.05,
+            "steps": 10,
+            "burn_in": 100,
+            "init_width": 1.0,
+            "move_width": 0.2,          # random_walk proposal width
+            "adapt_frequency": 100,
+        },
+        "system": {
+            "atoms": None,              # (natoms, 3)
+            "charges": None,            # (natoms,)
+            "spins": None,              # (nelectrons,) of +-1
+            "nspins": None,             # (n_up, n_down)
+            "ndim": 3,
+            "use_pp": False,
+            "pp": {
+                "list_l": 2,
+                "rn_local": None,
+                "local_coes": None,
+                "local_exps": None,
+                "rn_non_local": None,
+                "non_local_coes": None,
+                "non_local_exps": None,
+                "reference_compat": False,
+            },
+            "structure": None,          # lattice (PBC; ignored for molecules)
+        },
+        "log": {
+            "save_path": "",
+            "restore_path": "",
+            "save_frequency": 10.0,     # minutes
+            "stats_frequency": 1,
+        },
+        "debug": {
+            "deterministic": False,
+            "seed": 1,
+        },
+    })
+    return cfg
+
+
+def resolve(cfg: ml_collections.ConfigDict) -> ml_collections.ConfigDict:
+    """Fills derived fields (nelectrons, nspins) from the system definition."""
+    import numpy as np
+    spins = np.asarray(cfg.system.spins)
+    nelectrons = spins.size
+    n_up = int(np.sum(spins > 0))
+    with cfg.unlocked():
+        cfg.system.nelectrons = nelectrons
+        if cfg.system.nspins is None:
+            cfg.system.nspins = (n_up, nelectrons - n_up)
+        cfg.system.natoms = int(np.asarray(cfg.system.atoms).shape[0])
+    return cfg

@@ -1,0 +1,161 @@
+"""DMC main loop (ref AIQMCrelease3/DMC/main_dmc.py:23-250).
+
+Restores a VMC checkpoint (required, ref main_dmc.py:72), estimates
+E_trial/E_est, then runs nblocks x iterations of jitted propagation with
+device-side stochastic-comb branching after each block and the
+E_trial = E_est - feedback * log(mean w) population-control feedback.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from absl import logging
+
+from aiqmc_tpu import checkpoint as checkpoint_lib
+from aiqmc_tpu.dmc.branch import branch
+from aiqmc_tpu.dmc.propagate import calculate_total_energy, dmc_propagate
+from aiqmc_tpu.hamiltonian import pp_local_energy
+from aiqmc_tpu.models import network as nn, spin_indices
+from aiqmc_tpu.utils import writers
+
+
+def estimate_energy(energy_data: jnp.ndarray, weights_data: jnp.ndarray):
+    """Weighted average over recorded blocks (ref DMC/estimate_energy.py:4-5)."""
+    return jnp.sum(energy_data * weights_data) / jnp.sum(weights_data)
+
+
+def main(atoms,
+         charges,
+         spins,
+         tstep: float,
+         nelectrons: int,
+         nsteps: int,
+         natoms: int,
+         ndim: int,
+         batch_size: int,
+         iterations: int,
+         nblocks: int,
+         feedback: float,
+         nspins: Tuple[int, int],
+         save_path: Optional[str],
+         restore_path: Optional[str],
+         Rn_local,
+         Local_coes,
+         Local_exps,
+         Rn_non_local,
+         Non_local_coes,
+         Non_local_exps,
+         save_frequency: float = 10.0,
+         structure=None,
+         list_l: int = 2,
+         network_kwargs: Optional[dict] = None,
+         use_tmoves: bool = True,
+         seed: int = 1):
+    """Runs DMC; returns (per-block energies, final data, final weights)."""
+    del structure
+    logging.info("Diffusion Quantum Monte Carlo start")
+    key = jax.random.PRNGKey(seed)
+
+    ckpt_save_path = checkpoint_lib.create_save_path(save_path)
+    ckpt_restore_path = checkpoint_lib.get_restore_path(restore_path)
+    ckpt_restore_filename = (
+        checkpoint_lib.find_last_checkpoint(ckpt_save_path) or
+        checkpoint_lib.find_last_checkpoint(ckpt_restore_path))
+    if not ckpt_restore_filename:
+        raise ValueError("DMC must use the wave function from VMC!")
+
+    spins_arr = np.asarray(spins)
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins_arr,
+                                                               nelectrons)
+    up, down = spin_indices.spin_indices_h(spins_arr)
+    network_kwargs = dict(network_kwargs or {})
+    network = nn.make_ai_net(
+        ndim=ndim, nelectrons=nelectrons, natoms=natoms, nspins=tuple(nspins),
+        charges=jnp.asarray(charges), parallel_indices=par,
+        antiparallel_indices=anti, n_parallel=n_par, n_antiparallel=n_anti,
+        spin_up_indices=up, spin_down_indices=down, **network_kwargs)
+    signed_network = network.apply
+
+    key, subkey = jax.random.split(key)
+    params_init = network.init(subkey)
+    t_init, data, params, _ = checkpoint_lib.restore(
+        ckpt_restore_filename, batch_size, target_params=params_init)
+    data = nn.AINetData(
+        positions=jnp.asarray(data.positions), spins=jnp.asarray(data.spins),
+        atoms=jnp.asarray(data.atoms), charges=jnp.asarray(data.charges))
+
+    complex_output = network_kwargs.get("complex_orbitals", False)
+    localenergy = pp_local_energy.local_energy(
+        f=signed_network, lognetwork=None, charges=jnp.asarray(charges),
+        nspins=tuple(nspins), rn_local=jnp.asarray(Rn_local),
+        local_coes=jnp.asarray(Local_coes), local_exps=jnp.asarray(Local_exps),
+        rn_non_local=jnp.asarray(Rn_non_local),
+        non_local_coes=jnp.asarray(Non_local_coes),
+        non_local_exps=jnp.asarray(Non_local_exps), natoms=natoms,
+        nelectrons=nelectrons, ndim=ndim, list_l=list_l,
+        complex_output=complex_output)
+    total_e = jax.jit(calculate_total_energy(localenergy))
+    key, subkey = jax.random.split(key)
+    _, (e_init, var_init) = total_e(params, subkey, data)
+    e_trial = e_init
+    e_est = e_init
+    esigma = jnp.sqrt(var_init.real)
+    logging.info("DMC initial energy %s, sigma %s", e_init, esigma)
+
+    dmc_run = jax.jit(dmc_propagate(
+        signed_network=signed_network, log_network=None, logabs_f=None,
+        list_l=list_l, nelectrons=nelectrons, natoms=natoms, ndim=ndim,
+        batch_size=batch_size, tstep=tstep, nsteps=nsteps,
+        charges=jnp.asarray(charges), spins=tuple(nspins),
+        Rn_local=jnp.asarray(Rn_local), Local_coes=jnp.asarray(Local_coes),
+        Local_exps=jnp.asarray(Local_exps),
+        Rn_non_local=jnp.asarray(Rn_non_local),
+        Non_local_coes=jnp.asarray(Non_local_coes),
+        Non_local_exps=jnp.asarray(Non_local_exps),
+        complex_output=complex_output, use_tmoves=use_tmoves))
+    jit_branch = jax.jit(branch)
+
+    weights = jnp.ones((batch_size,))
+    branchcut_start = 10.0
+
+    writer_manager = writers.Writer(
+        name="DMC_states", schema=["block", "energy", "weight"],
+        directory=ckpt_save_path, iteration_key=None, log=False)
+
+    block_energies = []
+    time_of_last_ckpt = time.time()
+    with writer_manager as writer:
+        for block in range(nblocks):
+            energy_acc = []
+            weight_acc = []
+            for _ in range(iterations):
+                key, subkey = jax.random.split(key)
+                energy, weights, data = dmc_run(
+                    params, subkey, data, weights, branchcut_start * esigma,
+                    e_trial, e_est)
+                energy_acc.append(np.asarray(energy.real))
+                weight_acc.append(np.asarray(weights))
+            energy_block = jnp.asarray(np.stack(energy_acc))
+            weight_block = jnp.asarray(np.stack(weight_acc))
+            e_est = estimate_energy(energy_block, weight_block)
+            block_energies.append(float(np.asarray(e_est)))
+            logging.info("Block %05d: %03.4f E_h", block, block_energies[-1])
+
+            key, subkey = jax.random.split(key)
+            data, weights, _ = jit_branch(data, weights, subkey)
+            e_trial = e_est - feedback * jnp.log(jnp.mean(weights)).real
+
+            writer.write(block, block=block, energy=block_energies[-1],
+                         weight=float(np.asarray(jnp.mean(weights))))
+            if time.time() - time_of_last_ckpt > save_frequency * 60:
+                checkpoint_lib.save(ckpt_save_path, t_init + block,
+                                    jax.device_get(data),
+                                    jax.device_get(params), {})
+                time_of_last_ckpt = time.time()
+
+    return np.asarray(block_energies), data, weights

@@ -1,0 +1,115 @@
+"""One DMC propagation step: T-moves -> drift-diffusion -> reweighting.
+
+Capability parity with ref ``AIQMCrelease3/DMC/dmc.py:13-93``; everything runs in
+one jitted global-batch computation (the reference pmap-dispatches four separate
+device programs per step: tmoves, drift-diffusion, and two energy evaluations).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+
+from aiqmc_tpu.dmc.drift_diffusion import propose_drift_diffusion
+from aiqmc_tpu.dmc.s_matrix import comput_S
+from aiqmc_tpu.dmc.tmoves import compute_tmoves
+from aiqmc_tpu.hamiltonian import pp_local_energy
+from aiqmc_tpu.models.network import AINetData
+
+
+def calculate_total_energy(local_energy):
+    """Batch-averaged local energy (ref DMC/total_energy.py:9-33).
+
+    Returns fn(params, key, data) -> (per-walker E_L, (mean, variance))."""
+    batch_local_energy = jax.vmap(
+        local_energy,
+        in_axes=(None, 0, AINetData(positions=0, spins=None, atoms=None,
+                                    charges=None)),
+        out_axes=(0, 0))
+
+    def total_energy(params, key: chex.PRNGKey, data: AINetData):
+        keys = jax.random.split(key, num=data.positions.shape[0])
+        e_l, _ = batch_local_energy(params, keys, data)
+        mean = jnp.mean(e_l)
+        variance = jnp.mean(jnp.abs(e_l - mean) ** 2)
+        return e_l, (mean, variance)
+
+    return total_energy
+
+
+def dmc_propagate(signed_network,
+                  log_network,
+                  logabs_f,
+                  list_l: int,
+                  nelectrons: int,
+                  natoms: int,
+                  ndim: int,
+                  batch_size: int,
+                  tstep: float,
+                  nsteps: int,
+                  charges: jnp.ndarray,
+                  spins,
+                  Rn_local: jnp.ndarray,
+                  Local_coes: jnp.ndarray,
+                  Local_exps: jnp.ndarray,
+                  Rn_non_local: jnp.ndarray,
+                  Non_local_coes: jnp.ndarray,
+                  Non_local_exps: jnp.ndarray,
+                  complex_output: bool = False,
+                  laplacian_chunk: Optional[int] = None,
+                  use_tmoves: bool = True):
+    """Builds dmc_propagate_run(params, key, data, weights, branchcut, e_trial,
+    e_est) -> (eloc_new, weights, new_data) (ref DMC/dmc.py:72-93)."""
+    del log_network, logabs_f, nsteps  # API parity with the reference factory
+
+    tmove = compute_tmoves(
+        list_l=list_l, tstep=tstep, nelectrons=nelectrons, natoms=natoms,
+        ndim=ndim, signed_network=signed_network, Rn_non_local=Rn_non_local,
+        Non_local_coes=Non_local_coes, Non_local_exps=Non_local_exps) \
+        if use_tmoves else None
+
+    drift_diffusion = propose_drift_diffusion(
+        signed_network=signed_network, tstep=tstep, ndim=ndim,
+        nelectrons=nelectrons, batch_size=batch_size)
+
+    localenergy = pp_local_energy.local_energy(
+        f=signed_network, lognetwork=None, charges=charges, nspins=spins,
+        rn_local=Rn_local, local_coes=Local_coes, local_exps=Local_exps,
+        rn_non_local=Rn_non_local, non_local_coes=Non_local_coes,
+        non_local_exps=Non_local_exps, natoms=natoms, nelectrons=nelectrons,
+        ndim=ndim, list_l=list_l, complex_output=complex_output,
+        laplacian_chunk=laplacian_chunk)
+    total_e = calculate_total_energy(localenergy)
+
+    def dmc_propagate_run(params,
+                          key: chex.PRNGKey,
+                          data: AINetData,
+                          weights: jnp.ndarray,
+                          branchcut_start,
+                          e_trial,
+                          e_est):
+        key, tmove_key, dd_key, e_key = jax.random.split(key, num=4)
+        if tmove is not None:
+            tmove_keys = jax.random.split(tmove_key, num=batch_size)
+            pos, _ = jax.vmap(tmove, in_axes=(
+                AINetData(positions=0, spins=None, atoms=None, charges=None),
+                None, 0))(data, params, tmove_keys)
+            data = AINetData(**(dict(data) | {"positions": pos}))
+
+        new_data, _, tdamp, v_old, v_new = drift_diffusion(params, dd_key, data)
+        eloc_old, _ = total_e(params, e_key, data)
+        eloc_new, _ = total_e(params, e_key, new_data)
+        s_old = comput_S(e_trial=e_trial, e_est=e_est, branchcut=branchcut_start,
+                         v2=jnp.square(v_old), tau=tstep, eloc=eloc_old,
+                         nelec=nelectrons)
+        s_new = comput_S(e_trial=e_trial, e_est=e_est, branchcut=branchcut_start,
+                         v2=jnp.square(v_new), tau=tstep, eloc=eloc_new,
+                         nelec=nelectrons)
+        wmult = jnp.exp(tstep * tdamp * (0.5 * s_new + 0.5 * s_old))
+        weights = wmult * weights
+        return eloc_new, weights, new_data
+
+    return dmc_propagate_run

@@ -1,0 +1,148 @@
+"""Neural-network building blocks.
+
+Parity with ref ``AIQMCrelease3/wavefunction_Ynlm/network_blocks.py``: linear and
+"convolutional" (grouped elementwise-reduce) layers, slogdet with a 1x1 fast path,
+and the log-sum-exp determinant combination. Initialisation distributions match the
+reference exactly (normal / sqrt(fan_in), normal biases) so KFAC scaling and
+training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import MutableMapping, Optional, Sequence, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+
+
+def array_partitions(sizes: Sequence[int]) -> Sequence[int]:
+    """Split indices for partitioning an array (ref network_blocks.py:25-36)."""
+    return list(itertools.accumulate(sizes))[:-1]
+
+
+def init_linear_layer(key: chex.PRNGKey, in_dim: int, out_dim: int,
+                      include_bias: bool = True) -> MutableMapping[str, jnp.ndarray]:
+    """x @ w + b with w ~ N(0, 1/in_dim) (ref network_blocks.py:63-86)."""
+    key1, key2 = jax.random.split(key)
+    weight = jax.random.normal(key1, shape=(in_dim, out_dim)) / jnp.sqrt(float(in_dim))
+    if include_bias:
+        bias = jax.random.normal(key2, shape=(out_dim,))
+        return {"w": weight, "b": bias}
+    return {"w": weight}
+
+
+# Activation tape: when a capture context is active, every linear_layer call
+# appends (input, weight) so curvature estimators (optim.kfac) can recover
+# per-layer activations without jaxpr surgery. Appends happen at trace time;
+# the recorded values are ordinary tracers, valid as outputs of the traced
+# function. This replaces the reference's kfac_jax graph-pattern matching
+# (ref curvature_tags_and_blocks.py:194-263).
+_ACTIVATION_TAPE: Optional[list] = None
+
+
+class capture_activations:
+    """Context manager collecting (x, w) for every dense layer application."""
+
+    def __enter__(self):
+        global _ACTIVATION_TAPE
+        self._saved = _ACTIVATION_TAPE
+        _ACTIVATION_TAPE = []
+        return _ACTIVATION_TAPE
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        global _ACTIVATION_TAPE
+        _ACTIVATION_TAPE = self._saved
+        return False
+
+
+def linear_layer(x: jnp.ndarray, w: jnp.ndarray,
+                 b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Evaluates x @ w (+ b). The matmul is the MXU workhorse of the model."""
+    if _ACTIVATION_TAPE is not None:
+        _ACTIVATION_TAPE.append((x, w))
+    y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    return y + b if b is not None else y
+
+
+vmap_linear_layer = jax.vmap(linear_layer, in_axes=(0, None, None), out_axes=0)
+
+# Group size of the reduce layer: the reference hardcodes 4
+# (network_blocks.py:109 "reshape(nelectrons, -1, 4)").
+CONV_GROUP = 4
+
+
+def init_convolu_layer(nelectrons: int, key: chex.PRNGKey, in_dim_1: int,
+                       in_dim_2: int, include_bias: bool = True
+                       ) -> MutableMapping[str, jnp.ndarray]:
+    """Per-electron elementwise weights for the grouped-reduce layer.
+
+    Ref network_blocks.py:88-102: w has shape (nelectrons, in_dim_2) scaled by
+    1/sqrt(in_dim_1); bias has shape (nelectrons, in_dim_2 / 4).
+    """
+    if in_dim_2 % CONV_GROUP != 0:
+        raise ValueError(
+            f"convolu layer input dim {in_dim_2} must be divisible by {CONV_GROUP}")
+    key1, key2 = jax.random.split(key)
+    weight = jax.random.normal(key1, shape=(in_dim_1, in_dim_2)) / jnp.sqrt(
+        float(in_dim_1))
+    if include_bias:
+        bias = jax.random.normal(key2, shape=(nelectrons, in_dim_2 // CONV_GROUP))
+        return {"w": weight, "b": bias}
+    return {"w": weight}
+
+
+def convolu_layer(nelectrons: int, x: jnp.ndarray, w: jnp.ndarray,
+                  b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Grouped elementwise-reduce layer (ref network_blocks.py:106-116).
+
+    Reshapes (nelec, D) inputs and weights to (nelec, D/4, 4), takes the mean of
+    the elementwise product over the trailing group of 4 and adds a per-electron
+    bias. Pure VPU work; XLA fuses it with the surrounding tanh.
+    """
+    x = jnp.reshape(x, (nelectrons, -1, CONV_GROUP))
+    w = jnp.reshape(w, (nelectrons, -1, CONV_GROUP))
+    y = jnp.mean(x * w, axis=-1)
+    return y + b if b is not None else y
+
+
+def slogdet(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sign/phase and log|det| with a fast 1x1 path (ref network_blocks.py:138-158)."""
+    if x.shape[-1] == 1:
+        if jnp.iscomplexobj(x):
+            sign = x[..., 0, 0] / jnp.abs(x[..., 0, 0])
+        else:
+            sign = jnp.sign(x[..., 0, 0])
+        logdet = jnp.log(jnp.abs(x[..., 0, 0]))
+    else:
+        sign, logdet = jnp.linalg.slogdet(x)
+    return sign, logdet
+
+
+def logdet_matmul(xs: Sequence[jnp.ndarray],
+                  w: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Combines determinants in the log domain (ref network_blocks.py:161-206).
+
+    Returns (phase, log|sum_i w_i D_i|) where the phase is an angle for complex
+    determinants and a sign otherwise.
+    """
+    det1d = functools.reduce(
+        lambda a, b: a * b, [x.reshape(-1) for x in xs if x.shape[-1] == 1], 1)
+    phase_in, logdet = functools.reduce(
+        lambda a, b: (a[0] * b[0], a[1] + b[1]),
+        [slogdet(x) for x in xs if x.shape[-1] > 1], (1, 0))
+
+    maxlogdet = jnp.max(logdet)
+    det = phase_in * det1d * jnp.exp(logdet - maxlogdet)
+    if w is None:
+        result = jnp.sum(det)
+    else:
+        result = jnp.matmul(det, w)[0]
+    if jnp.iscomplexobj(result):
+        phase_out = jnp.angle(result)
+    else:
+        phase_out = jnp.sign(result)
+    log_out = jnp.log(jnp.abs(result)) + maxlogdet
+    return phase_out, log_out

@@ -1,0 +1,84 @@
+"""Device mesh and sharding utilities.
+
+The reference parallelises exclusively by sharding walkers over devices with
+``jax.pmap`` (``AIQMCrelease3/constants.py:5-9``, device accounting in
+``main/main_pp_adam_muti_GPU.py:52-60``). The TPU-native equivalent is a 1-D
+``Mesh(('data',))`` over all chips (ICI within a slice, DCN across slices), with
+walker arrays sharded along their leading batch axis and parameters replicated.
+Everything runs inside one ``jax.jit``; XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    """Builds a 1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Sharding that replicates a pytree leaf on every device of the mesh."""
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Sharding that splits the leading (walker batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_walkers(tree: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
+    """Places every array in ``tree`` with its leading axis sharded over the mesh.
+
+    Walker data (positions, spins, per-walker atoms/charges) all carry a leading
+    global batch axis; this distributes them so each chip holds batch/n_devices
+    walkers, the TPU-native analogue of the reference's reshape-to
+    ``[ndevices, device_batch, ...]`` + pmap (``main_pp_adam_muti_GPU.py:81-94``).
+    """
+    sharding = data_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicates every array in ``tree`` on all devices (params, opt state)."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchInfo:
+    """Global/host/device batch accounting (ref main_pp_adam_muti_GPU.py:52-60)."""
+    batch_size: int
+    num_devices: int
+    num_hosts: int
+    host_batch_size: int
+    device_batch_size: int
+
+
+def host_batch_info(batch_size: int) -> BatchInfo:
+    num_local = jax.local_device_count()
+    num_total = jax.device_count()
+    num_hosts = num_total // num_local
+    if batch_size % num_total != 0:
+        raise ValueError(
+            f"Batch size {batch_size} must be divisible by the number of devices"
+            f" ({num_total}).")
+    host_batch = batch_size // num_hosts
+    return BatchInfo(
+        batch_size=batch_size,
+        num_devices=num_total,
+        num_hosts=num_hosts,
+        host_batch_size=host_batch,
+        device_batch_size=host_batch // num_local,
+    )

@@ -1,0 +1,401 @@
+"""VMC training driver.
+
+Capability parity with ref ``AIQMCrelease3/main/main_pp_adam_muti_GPU.py:27-212``
+(device accounting, checkpoint restore-or-init, network build, sampler, ECP local
+energy, clipped loss, Adam + power-law LR schedule, CSV/ckpt logging), rebuilt
+TPU-first:
+
+  * ONE jitted step per iteration containing the full MCMC sweep + loss/grad +
+    optimizer update, compiled once over a ``Mesh(('data',))`` with walker arrays
+    sharded and parameters replicated. XLA/GSPMD inserts the gradient psum over
+    ICI; there is no pmap and no host round-trip between MCMC and optimization
+    (the reference dispatches two separate pmaps per iteration,
+    main_pp_adam_muti_GPU.py:188-190).
+  * Walker and optimizer buffers are donated to the step, so positions/opt state
+    update in place in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+from absl import logging
+
+from aiqmc_tpu import checkpoint as checkpoint_lib
+from aiqmc_tpu import config as config_lib
+from aiqmc_tpu import loss as loss_lib
+from aiqmc_tpu.hamiltonian import local_energy as ae_local_energy
+from aiqmc_tpu.hamiltonian import pp_local_energy
+from aiqmc_tpu.models import network as nn
+from aiqmc_tpu.models import spin_indices
+from aiqmc_tpu.optim import adam as adam_lib
+from aiqmc_tpu.optim import kfac as kfac_lib
+from aiqmc_tpu.parallel import mesh as mesh_lib
+from aiqmc_tpu.sampling import drift_diffusion, mcmc as rw_mcmc
+from aiqmc_tpu.sampling.init_electrons import init_electrons
+from aiqmc_tpu.utils import writers
+
+
+@dataclasses.dataclass
+class TrainResult:
+    """Handles returned by train() for downstream evaluation / DMC restart."""
+    network: nn.Network
+    params: nn.ParamTree
+    data: nn.AINetData
+    opt_state: object
+    energies: np.ndarray
+    ckpt_save_path: str
+
+
+def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
+    spins = np.asarray(cfg.system.spins)
+    nelectrons = int(spins.size)
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelectrons)
+    up, down = spin_indices.spin_indices_h(spins)
+    network = nn.make_ai_net(
+        nspins=tuple(cfg.system.nspins),
+        charges=jnp.asarray(cfg.system.charges),
+        parallel_indices=par,
+        antiparallel_indices=anti,
+        spin_up_indices=up,
+        spin_down_indices=down,
+        n_parallel=n_par,
+        n_antiparallel=n_anti,
+        ndim=cfg.system.ndim,
+        natoms=int(np.asarray(cfg.system.atoms).shape[0]),
+        nelectrons=nelectrons,
+        determinants=cfg.network.determinants,
+        bias_orbitals=cfg.network.bias_orbitals,
+        rescale_inputs=cfg.network.rescale_inputs,
+        hidden_dims=tuple(map(tuple, cfg.network.hidden_dims)),
+        hidden_dims_Ynlm=tuple(cfg.network.hidden_dims_ynlm),
+        full_equivariance=cfg.network.full_equivariance,
+        complex_orbitals=cfg.network.complex_orbitals,
+        bounded_envelope=cfg.network.bounded_envelope,
+        regular_harmonics=cfg.network.regular_harmonics)
+    return network, (up, down)
+
+
+def _build_local_energy(cfg, network):
+    complex_output = cfg.network.complex_orbitals
+    if cfg.system.use_pp:
+        pp = cfg.system.pp
+        return pp_local_energy.local_energy(
+            f=network.apply,
+            lognetwork=None,
+            charges=jnp.asarray(cfg.system.charges),
+            nspins=tuple(cfg.system.nspins),
+            rn_local=jnp.asarray(pp.rn_local),
+            local_coes=jnp.asarray(pp.local_coes),
+            local_exps=jnp.asarray(pp.local_exps),
+            rn_non_local=jnp.asarray(pp.rn_non_local),
+            non_local_coes=jnp.asarray(pp.non_local_coes),
+            non_local_exps=jnp.asarray(pp.non_local_exps),
+            natoms=int(np.asarray(cfg.system.atoms).shape[0]),
+            nelectrons=int(np.asarray(cfg.system.spins).size),
+            ndim=cfg.system.ndim,
+            list_l=pp.list_l,
+            complex_output=complex_output,
+            laplacian_chunk=cfg.optim.laplacian_chunk,
+            reference_compat=pp.reference_compat)
+    return ae_local_energy.local_energy(
+        f=network.apply,
+        charges=jnp.asarray(cfg.system.charges),
+        nspins=tuple(cfg.system.nspins),
+        complex_output=complex_output,
+        laplacian_chunk=cfg.optim.laplacian_chunk)
+
+
+def _build_mcmc(cfg, network, batch_size: int):
+    nelectrons = int(np.asarray(cfg.system.spins).size)
+    if cfg.mcmc.algorithm == "drift_diffusion":
+        return drift_diffusion.main_monte_carlo(
+            f=network.apply, tstep=cfg.mcmc.tstep, ndim=cfg.system.ndim,
+            nelectrons=nelectrons, nsteps=cfg.mcmc.steps, batch_size=batch_size)
+    batch_network = jax.vmap(
+        lambda p, x, s, a, c: network.apply(p, x, s, a, c)[1],
+        in_axes=(None, 0, None, None, None))
+    step = rw_mcmc.make_mcmc_step(batch_network, batch_size, steps=cfg.mcmc.steps)
+    width = cfg.mcmc.move_width
+
+    def mc_step(params, data, key):
+        return step(params, data, key, width)
+
+    return mc_step
+
+
+def make_learning_rate_schedule(cfg):
+    """Power-law decay (ref main_pp_adam_muti_GPU.py:158-159)."""
+    rate, delay, decay = cfg.optim.lr.rate, cfg.optim.lr.delay, cfg.optim.lr.decay
+
+    def schedule(t_):
+        return rate * jnp.power(1.0 / (1.0 + (t_ / delay)), decay)
+
+    return schedule
+
+
+class _TrainingComponents:
+    """Bundle of (mc_step, evaluate_loss, opt init, combined step)."""
+
+    def __init__(self, mc_step, evaluate_loss, opt_init, combined_step):
+        self.mc_step = mc_step
+        self.evaluate_loss = evaluate_loss
+        self.init = opt_init  # opt_state = components.init(params)
+        self.combined_step = combined_step
+
+
+def make_training_components(cfg, network, batch_size: int,
+                             params_template=None, data_template=None):
+    """Builds the training-step bundle for the configured optimizer."""
+    import optax
+
+    localenergy = _build_local_energy(cfg, network)
+    logabs_network = lambda *a, **k: network.apply(*a, **k)[1]
+    if cfg.network.complex_orbitals:
+        # log psi = log|psi| + i*phase (ref main_pp_adam_muti_GPU.py:119-121).
+        loss_network = nn.make_log_network(network.apply)
+    else:
+        loss_network = logabs_network
+    make_loss = (loss_lib.make_wqmc_loss if cfg.optim.objective == "wqmc"
+                 else loss_lib.make_loss)
+    evaluate_loss = make_loss(
+        network=loss_network,
+        local_energy=localenergy,
+        clip_local_energy=cfg.optim.clip_local_energy,
+        clip_from_median=cfg.optim.clip_from_median,
+        center_at_clipped_energy=cfg.optim.center_at_clipped_energy,
+        complex_output=cfg.network.complex_orbitals)
+
+    mc_step = _build_mcmc(cfg, network, batch_size)
+
+    if cfg.optim.optimizer == "kfac":
+        if params_template is None or data_template is None:
+            raise ValueError("KFAC requires params/data templates at build time")
+        kf = cfg.optim.kfac
+        options = kfac_lib.KfacOptions(
+            damping=kf.damping,
+            cov_ema_decay=kf.cov_ema_decay,
+            norm_constraint=kf.norm_constraint,
+            min_damping=kf.min_damping,
+            momentum=kf.momentum,
+            learning_rate_schedule=lambda t: kf.lr.rate / (1.0 + t / kf.lr.delay))
+        opt_init, kfac_step = kfac_lib.make_kfac_optimizer(
+            evaluate_loss=evaluate_loss,
+            loss_network=logabs_network,  # Fisher uses |psi| only
+            params_template=params_template,
+            options=options,
+            data_template=data_template)
+
+        def combined_step(params, opt_state, data, key):
+            mcmc_key, loss_key = jax.random.split(key)
+            data, pmove = mc_step(params, data, mcmc_key)
+            params, opt_state, loss_val, aux = kfac_step(
+                params, opt_state, loss_key, data)
+            return params, opt_state, data, loss_val, aux.variance, pmove
+
+        return _TrainingComponents(mc_step, evaluate_loss, opt_init,
+                                   combined_step)
+
+    if cfg.optim.optimizer == "none":
+        def opt_init_none(params):
+            del params
+            return ()
+
+        def combined_step_none(params, opt_state, data, key):
+            mcmc_key, loss_key = jax.random.split(key)
+            data, pmove = mc_step(params, data, mcmc_key)
+            loss_val, aux = evaluate_loss(params, loss_key, data)
+            return params, opt_state, data, loss_val, aux.variance, pmove
+
+        return _TrainingComponents(mc_step, evaluate_loss, opt_init_none,
+                                   combined_step_none)
+
+    optimizer = optax.chain(
+        optax.scale_by_adam(**cfg.optim.adam.to_dict()),
+        optax.scale_by_schedule(make_learning_rate_schedule(cfg)),
+        optax.scale(-1.0))
+    opt_step = adam_lib.make_training_step(
+        adam_lib.make_opt_update_step(evaluate_loss, optimizer))
+
+    def combined_step(params, opt_state, data, key):
+        mcmc_key, loss_key = jax.random.split(key)
+        data, pmove = mc_step(params, data, mcmc_key)
+        data, params, opt_state, loss_val, aux = opt_step(
+            data, params, opt_state, loss_key)
+        return params, opt_state, data, loss_val, aux.variance, pmove
+
+    return _TrainingComponents(mc_step, evaluate_loss, optimizer.init,
+                               combined_step)
+
+
+def train(cfg: ml_collections.ConfigDict,
+          writer_manager: Optional[writers.Writer] = None) -> TrainResult:
+    """Runs VMC optimisation per the config; returns final state handles."""
+    cfg = config_lib.resolve(cfg)
+    info = mesh_lib.host_batch_info(cfg.batch_size)
+    mesh = mesh_lib.make_mesh()
+    logging.info("Starting QMC: %d devices / %d hosts, global batch %d",
+                 info.num_devices, info.num_hosts, cfg.batch_size)
+
+    if cfg.debug.deterministic:
+        seed = cfg.debug.seed
+    else:
+        seed = int(1e6 * time.time()) % (2 ** 31)
+    key = jax.random.PRNGKey(seed)
+
+    atoms = jnp.asarray(cfg.system.atoms)
+    charges = jnp.asarray(cfg.system.charges)
+    spins = jnp.asarray(cfg.system.spins)
+    nelectrons = int(spins.size)
+
+    network, _ = _build_network(cfg)
+    key, subkey = jax.random.split(key)
+    params = network.init(subkey)
+
+    ckpt_save_path = checkpoint_lib.create_save_path(cfg.log.save_path or None)
+    ckpt_restore_path = checkpoint_lib.get_restore_path(cfg.log.restore_path or None)
+    ckpt_restore_filename = (
+        checkpoint_lib.find_last_checkpoint(ckpt_save_path) or
+        checkpoint_lib.find_last_checkpoint(ckpt_restore_path))
+
+    key, subkey = jax.random.split(key)
+    pos, spins_out = init_electrons(
+        subkey, cfg.system.structure, atoms, charges, spins,
+        batch_size=cfg.batch_size, init_width=cfg.mcmc.init_width)
+    data = nn.AINetData(positions=pos, spins=spins_out, atoms=atoms,
+                        charges=charges)
+
+    components = make_training_components(
+        cfg, network, cfg.batch_size, params_template=params,
+        data_template=data)
+    mc_step = components.mc_step
+    combined_step = components.combined_step
+    opt_state = components.init(params)
+    t_init = 0
+
+    if ckpt_restore_filename:
+        t_init, rdata, params, opt_state = checkpoint_lib.restore(
+            ckpt_restore_filename, cfg.batch_size,
+            target_params=params, target_opt_state=opt_state)
+        data = nn.AINetData(
+            positions=jnp.asarray(rdata.positions),
+            spins=jnp.asarray(rdata.spins),
+            atoms=jnp.asarray(rdata.atoms),
+            charges=jnp.asarray(rdata.charges))
+
+    # Distribute: walkers sharded, params/opt state replicated.
+    data = nn.AINetData(
+        positions=mesh_lib.shard_walkers(data.positions, mesh),
+        spins=mesh_lib.replicate(data.spins, mesh),
+        atoms=mesh_lib.replicate(data.atoms, mesh),
+        charges=mesh_lib.replicate(data.charges, mesh))
+    params = mesh_lib.replicate(params, mesh)
+    opt_state = mesh_lib.replicate(opt_state, mesh)
+
+    jit_step = jax.jit(combined_step, donate_argnums=(1, 2))
+
+    # Burn-in: MCMC only (ref ferminet/train.py:820-838 pattern).
+    if cfg.mcmc.burn_in > 0:
+        jit_mc = jax.jit(mc_step, donate_argnums=(1,))
+        burn_per_call = max(1, cfg.mcmc.burn_in // max(1, cfg.mcmc.steps))
+        for _ in range(burn_per_call):
+            key, subkey = jax.random.split(key)
+            data, _ = jit_mc(params, data, subkey)
+
+    if writer_manager is None:
+        writer_manager = writers.Writer(
+            name="train_states", schema=["step", "energy", "variance", "pmove"],
+            directory=ckpt_save_path, iteration_key=None, log=False)
+
+    energies = []
+    time_of_last_ckpt = time.time()
+    with writer_manager as writer:
+        for t in range(t_init, t_init + cfg.optim.iterations):
+            key, subkey = jax.random.split(key)
+            params, opt_state, data, loss_val, variance, pmove = jit_step(
+                params, opt_state, data, subkey)
+            loss_host = float(np.asarray(jax.device_get(loss_val)).real)
+            energies.append(loss_host)
+            if t % cfg.log.stats_frequency == 0:
+                writer.write(t, step=t, energy=loss_host,
+                             variance=float(np.asarray(variance).real),
+                             pmove=float(np.asarray(pmove)))
+            logging.info("Step %05d: %03.4f E_h", t, loss_host)
+            if time.time() - time_of_last_ckpt > cfg.log.save_frequency * 60:
+                checkpoint_lib.save(ckpt_save_path, t, jax.device_get(data),
+                                    jax.device_get(params),
+                                    jax.device_get(opt_state))
+                time_of_last_ckpt = time.time()
+        checkpoint_lib.save(ckpt_save_path, t_init + cfg.optim.iterations - 1,
+                            jax.device_get(data), jax.device_get(params),
+                            jax.device_get(opt_state))
+
+    return TrainResult(network=network, params=params, data=data,
+                       opt_state=opt_state, energies=np.asarray(energies),
+                       ckpt_save_path=ckpt_save_path)
+
+
+def main(atoms,
+         charges,
+         spins,
+         tstep: float,
+         nelectrons: int,
+         nsteps: int,
+         natoms: int,
+         ndim: int,
+         batch_size: int,
+         iterations: int,
+         list_l: int = 2,
+         nspins: Optional[Tuple[int, int]] = None,
+         save_path: Optional[str] = None,
+         restore_path: Optional[str] = None,
+         Rn_local=None,
+         Local_coes=None,
+         Local_exps=None,
+         Rn_non_local=None,
+         Non_local_coes=None,
+         Non_local_exps=None,
+         save_frequency: float = 10.0,
+         structure=None,
+         **overrides) -> TrainResult:
+    """Reference-keyword-compatible entry point
+    (ref main/main_pp_adam_muti_GPU.py:27-52)."""
+    del nelectrons, natoms, nsteps  # derived from arrays / cfg.mcmc.steps
+    cfg = config_lib.default()
+    with cfg.unlocked():
+        cfg.batch_size = batch_size
+        cfg.optim.iterations = iterations
+        cfg.mcmc.tstep = tstep
+        cfg.system.atoms = np.asarray(atoms)
+        cfg.system.charges = np.asarray(charges)
+        cfg.system.spins = np.asarray(spins)
+        cfg.system.nspins = nspins
+        cfg.system.ndim = ndim
+        cfg.system.structure = structure
+        cfg.log.save_path = save_path or ""
+        cfg.log.restore_path = restore_path or ""
+        cfg.log.save_frequency = save_frequency
+        if Rn_local is not None:
+            cfg.system.use_pp = True
+            cfg.system.pp.list_l = list_l
+            cfg.system.pp.rn_local = np.asarray(Rn_local)
+            cfg.system.pp.local_coes = np.asarray(Local_coes)
+            cfg.system.pp.local_exps = np.asarray(Local_exps)
+            cfg.system.pp.rn_non_local = np.asarray(Rn_non_local)
+            cfg.system.pp.non_local_coes = np.asarray(Non_local_coes)
+            cfg.system.pp.non_local_exps = np.asarray(Non_local_exps)
+        for path, value in overrides.items():
+            node = cfg
+            *parents, leaf = path.split(".")
+            for p in parents:
+                node = node[p]
+            node[leaf] = value
+    return train(cfg)

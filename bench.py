@@ -1,0 +1,138 @@
+"""Benchmark: VMC walker throughput on the flagship C-atom ccECP config.
+
+Prints ONE JSON line:
+  {"metric": "walker_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
+   "vs_baseline": R}
+
+A "walker step" is one drift-diffusion sweep of one walker (all electrons) —
+the reference's unit of MCMC work (ref VMC/VMCmcstep.py). Each benchmark
+iteration runs cfg.mcmc.steps sweeps per walker plus a full Adam optimisation
+step (local energies with the batched Laplacian + nonlocal-ECP quadrature), so
+the figure measures the end-to-end training hot path, not bare sampling.
+
+vs_baseline: ratio against the driver north star of 5x the same workload's
+single-host CPU throughput (BASELINE.json: ">=5x CPU walker throughput per v5e
+chip"); the CPU figure is measured in a subprocess on this machine and cached in
+.bench_cpu_baseline.json. The reference itself publishes no numbers
+(BASELINE.md).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BATCH = 4096
+MCMC_STEPS = 10
+WARMUP_ITERS = 2
+TIMED_ITERS = 10
+CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cpu_baseline.json")
+
+
+def build_step(batch):
+    import jax
+    import jax.numpy as jnp
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu.models import network as nn
+    from aiqmc_tpu.parallel import mesh as mesh_lib
+    from aiqmc_tpu.sampling.init_electrons import init_electrons
+    from aiqmc_tpu.train import _build_network, make_training_components
+    from __graft_entry__ import _c_atom_cfg
+
+    cfg = config_lib.resolve(_c_atom_cfg(batch_size=batch))
+    with cfg.unlocked():
+        cfg.mcmc.steps = MCMC_STEPS
+        cfg.network.hidden_dims = ((32, 16), (32, 16), (32, 16))
+        cfg.network.hidden_dims_ynlm = (8, 8, 8)
+
+    mesh = mesh_lib.make_mesh()
+    network, _ = _build_network(cfg)
+    key = jax.random.PRNGKey(0)
+    params = network.init(key)
+    atoms = jnp.asarray(cfg.system.atoms)
+    charges = jnp.asarray(cfg.system.charges)
+    spins = jnp.asarray(cfg.system.spins)
+    pos, spins_out = init_electrons(key, None, atoms, charges, spins,
+                                    batch_size=batch, init_width=1.0)
+    data = nn.AINetData(positions=pos, spins=spins_out, atoms=atoms,
+                        charges=charges)
+    _, _, optimizer, combined_step = make_training_components(cfg, network, batch)
+    opt_state = optimizer.init(params)
+
+    data = nn.AINetData(
+        positions=mesh_lib.shard_walkers(data.positions, mesh),
+        spins=mesh_lib.replicate(data.spins, mesh),
+        atoms=mesh_lib.replicate(data.atoms, mesh),
+        charges=mesh_lib.replicate(data.charges, mesh))
+    params = mesh_lib.replicate(params, mesh)
+    opt_state = mesh_lib.replicate(opt_state, mesh)
+    step = jax.jit(combined_step, donate_argnums=(1, 2))
+    return jax, step, params, opt_state, data
+
+
+def measure(batch, warmup, timed):
+    import jax
+    jax_mod, step, params, opt_state, data = build_step(batch)
+    key = jax.random.PRNGKey(1)
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        params, opt_state, data, loss, var, pmove = step(params, opt_state, data, sub)
+    jax.block_until_ready(loss)
+    start = time.perf_counter()
+    for i in range(timed):
+        key, sub = jax.random.split(key)
+        params, opt_state, data, loss, var, pmove = step(params, opt_state, data, sub)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - start
+    n_chips = jax.device_count()
+    walker_steps = batch * MCMC_STEPS * timed
+    return walker_steps / elapsed / n_chips, float(loss.real if hasattr(loss, "real") else loss)
+
+
+def cpu_baseline():
+    """Measures (or loads) the same workload's CPU throughput in a subprocess."""
+    if os.path.exists(CPU_CACHE):
+        with open(CPU_CACHE) as f:
+            return json.load(f)["cpu_steps_per_sec"]
+    code = (
+        "import json,sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "v, _ = bench.measure(%d, 1, 2)\n"
+        "print(json.dumps({'cpu_steps_per_sec': v}))\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), BATCH)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, timeout=3000, env=env)
+        line = out.stdout.strip().splitlines()[-1]
+        value = json.loads(line)["cpu_steps_per_sec"]
+        with open(CPU_CACHE, "w") as f:
+            json.dump({"cpu_steps_per_sec": value}, f)
+        return value
+    except Exception:
+        return None
+
+
+def main():
+    value, loss = measure(BATCH, WARMUP_ITERS, TIMED_ITERS)
+    cpu = cpu_baseline()
+    if cpu:
+        # North star: >=5x CPU throughput (BASELINE.json); ratio 1.0 == target met.
+        vs_baseline = value / (5.0 * cpu)
+    else:
+        vs_baseline = 1.0
+    print(json.dumps({
+        "metric": "walker_steps_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "walker-steps/s/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

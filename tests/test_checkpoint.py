@@ -1,0 +1,62 @@
+"""Checkpoint roundtrip tests (stable msgpack format)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aiqmc_tpu import checkpoint
+from aiqmc_tpu.models.network import AINetData
+
+
+def test_save_restore_roundtrip(tmp_path):
+    params = {"layer": {"w": jnp.arange(6.0).reshape(2, 3),
+                        "b": jnp.ones((3,))}}
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    data = AINetData(positions=jnp.ones((4, 6)), spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    path = checkpoint.save(str(tmp_path), 7, data, params, opt_state)
+    assert os.path.exists(path)
+
+    found = checkpoint.find_last_checkpoint(str(tmp_path))
+    assert found == path
+
+    t, data2, params2, opt_state2 = checkpoint.restore(
+        found, batch_size=4, target_params=params, target_opt_state=opt_state)
+    assert t == 8
+    np.testing.assert_array_equal(np.asarray(data2.positions),
+                                  np.asarray(data.positions))
+    np.testing.assert_array_equal(np.asarray(params2["layer"]["w"]),
+                                  np.asarray(params["layer"]["w"]))
+    leaves1 = jax.tree_util.tree_leaves(opt_state)
+    leaves2 = jax.tree_util.tree_leaves(opt_state2)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_without_targets(tmp_path):
+    params = {"w": jnp.ones((2, 2))}
+    data = AINetData(positions=jnp.ones((2, 6)), spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    checkpoint.save(str(tmp_path), 0, data, params, {"dummy": jnp.zeros(1)})
+    found = checkpoint.find_last_checkpoint(str(tmp_path))
+    t, _, params2, _ = checkpoint.restore(found)
+    assert t == 1
+    np.testing.assert_array_equal(np.asarray(params2["w"]), np.ones((2, 2)))
+
+
+def test_batch_size_mismatch_raises(tmp_path):
+    params = {"w": jnp.ones((2, 2))}
+    data = AINetData(positions=jnp.ones((2, 6)), spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    checkpoint.save(str(tmp_path), 0, data, params, {})
+    found = checkpoint.find_last_checkpoint(str(tmp_path))
+    try:
+        checkpoint.restore(found, batch_size=16)
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError on batch mismatch")

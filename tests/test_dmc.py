@@ -1,0 +1,108 @@
+"""DMC engine tests: branching statistics, S-matrix, end-to-end smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aiqmc_tpu.dmc import branch as branch_lib
+from aiqmc_tpu.dmc import s_matrix
+from aiqmc_tpu.models.network import AINetData
+
+
+def test_branch_conserves_population_and_weight():
+    n = 64
+    key = jax.random.PRNGKey(0)
+    weights = jax.random.uniform(key, (n,)) * 2.0
+    data = AINetData(positions=jnp.arange(n * 6, dtype=jnp.float32).reshape(n, 6),
+                     spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.ones((1,)))
+    new_data, new_weights, inds = branch_lib.branch(data, weights, key)
+    assert new_data.positions.shape == data.positions.shape
+    np.testing.assert_allclose(np.asarray(new_weights),
+                               float(jnp.sum(weights)) / n, rtol=1e-5)
+    # every resampled walker must be a copy of an original one
+    orig = np.asarray(data.positions)
+    new = np.asarray(new_data.positions)
+    for row in new:
+        assert (row == orig).all(axis=1).any()
+
+
+def test_branch_favours_heavy_walkers():
+    """A walker with overwhelming weight should dominate the resample."""
+    n = 32
+    weights = jnp.ones((n,)).at[3].set(1000.0)
+    data = AINetData(positions=jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3),
+                     spins=jnp.array([1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.ones((1,)))
+    _, _, inds = branch_lib.branch(data, weights, jax.random.PRNGKey(1))
+    counts = np.bincount(np.asarray(inds), minlength=n)
+    assert counts[3] >= n - 2
+
+
+def test_s_matrix_limits():
+    """With eloc == e_est, S == e_trial - e_est regardless of drift."""
+    v2 = jnp.ones((4, 6))
+    s = s_matrix.comput_S(e_trial=-1.0, e_est=-1.1, branchcut=10.0, v2=v2,
+                          tau=0.01, eloc=jnp.full((4,), -1.1), nelec=2)
+    np.testing.assert_allclose(np.asarray(s), 0.1, rtol=1e-5)
+
+
+def test_s_matrix_branchcut_clamps():
+    v2 = jnp.zeros((1, 6))
+    s = s_matrix.comput_S(e_trial=0.0, e_est=0.0, branchcut=0.5, v2=v2,
+                          tau=0.01, eloc=jnp.array([-100.0]), nelec=2)
+    np.testing.assert_allclose(np.asarray(s), 0.5, rtol=1e-5)
+
+
+def test_dmc_end_to_end(tmp_path):
+    """VMC checkpoint -> short DMC run; energies stay finite and population is
+    controlled (pattern: ref DMC/main_dmc.py)."""
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu import train
+    from aiqmc_tpu.dmc import driver
+
+    pp = dict(
+        Rn_local=np.array([[1.0, 3.0, 2.0]]),
+        Local_coes=np.array([[4.00000, 57.74008, -25.81955]]),
+        Local_exps=np.array([[14.43502, 8.39889, 7.38188]]),
+        Rn_non_local=np.array([[[2.0, 2.0], [2.0, 2.0], [2.0, 2.0]]]),
+        Non_local_coes=np.array([[[52.13345, 0], [0, 0], [0, 0]]]),
+        Non_local_exps=np.array([[[7.76079, 0], [0, 0], [0, 0]]]))
+
+    cfg = config_lib.default()
+    with cfg.unlocked():
+        cfg.system.atoms = np.array([[0.0, 0.0, 0.0]])
+        cfg.system.charges = np.array([4.0])
+        cfg.system.spins = np.array([1.0, -1.0, 1.0, -1.0])
+        cfg.system.use_pp = True
+        cfg.system.pp.rn_local = pp["Rn_local"]
+        cfg.system.pp.local_coes = pp["Local_coes"]
+        cfg.system.pp.local_exps = pp["Local_exps"]
+        cfg.system.pp.rn_non_local = pp["Rn_non_local"]
+        cfg.system.pp.non_local_coes = pp["Non_local_coes"]
+        cfg.system.pp.non_local_exps = pp["Non_local_exps"]
+        cfg.batch_size = 16
+        cfg.optim.iterations = 1
+        cfg.mcmc.steps = 2
+        cfg.mcmc.burn_in = 2
+        cfg.network.hidden_dims = ((8, 4), (8, 4))
+        cfg.network.hidden_dims_ynlm = (4, 4)
+        cfg.debug.deterministic = True
+        cfg.log.save_path = str(tmp_path)
+        cfg.log.save_frequency = 1e9
+    train.train(cfg)
+
+    energies, data, weights = driver.main(
+        atoms=np.array([[0.0, 0.0, 0.0]]), charges=np.array([4.0]),
+        spins=np.array([1.0, -1.0, 1.0, -1.0]), tstep=0.02, nelectrons=4,
+        nsteps=1, natoms=1, ndim=3, batch_size=16, iterations=2, nblocks=2,
+        feedback=1.0, nspins=(2, 2), save_path=str(tmp_path), restore_path=None,
+        save_frequency=1e9,
+        network_kwargs={"hidden_dims": ((8, 4), (8, 4)),
+                        "hidden_dims_Ynlm": (4, 4),
+                        "full_equivariance": True,
+                        "complex_orbitals": False},
+        **pp)
+    assert energies.shape == (2,)
+    assert np.all(np.isfinite(energies))
+    assert np.all(np.isfinite(np.asarray(weights)))

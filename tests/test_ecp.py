@@ -1,0 +1,131 @@
+"""Pseudopotential tests: quadrature exactness + analytic channel checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aiqmc_tpu.hamiltonian import ecp
+from aiqmc_tpu.models.network import AINetData
+
+# C ccECP tables (ref example/single_atom_C/single_atom_C.py:13-23).
+C_RN_LOCAL = np.array([[1.0, 3.0, 2.0]])
+C_LOCAL_COES = np.array([[4.00000, 57.74008, -25.81955]])
+C_LOCAL_EXPS = np.array([[14.43502, 8.39889, 7.38188]])
+C_RN_NON_LOCAL = np.array([[[2.0, 2.0], [2.0, 2.0], [2.0, 2.0]]])
+C_NON_LOCAL_COES = np.array([[[52.13345, 0], [0, 0], [0, 0]]])
+C_NON_LOCAL_EXPS = np.array([[[7.76079, 0], [0, 0], [0, 0]]])
+
+
+def test_quadrature_weights_normalised():
+    _, w = ecp.fused_quadrature()
+    np.testing.assert_allclose(w.sum(), 1.0, atol=5e-5)
+
+
+@pytest.mark.parametrize("l", [1, 2, 3])
+def test_quadrature_integrates_legendre_exactly(l):
+    """The 50-point octahedral rule must annihilate P_l for l>=1 (spherical
+    average of P_l(cos theta) is delta_l0) for arbitrary reference axes."""
+    pts, w = ecp.fused_quadrature()
+    pts = jnp.asarray(pts)
+    w = jnp.asarray(w)
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        u = rng.normal(size=3)
+        u /= np.linalg.norm(u)
+        cos_theta = pts @ jnp.asarray(u)
+        p = ecp.legendre_stack(cos_theta, 3)
+        integral = p @ w  # (4,)
+        np.testing.assert_allclose(float(integral[0]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(float(integral[l]), 0.0, atol=1e-6)
+
+
+def test_local_pp_energy_analytic():
+    """Single electron at r from a C ccECP atom: compare to the closed form."""
+    nelec, natoms = 1, 1
+    fn = ecp.local_pp_energy(nelec, natoms, 3, jnp.asarray(C_RN_LOCAL),
+                             jnp.asarray(C_LOCAL_COES), jnp.asarray(C_LOCAL_EXPS))
+    r = 0.7
+    data = AINetData(positions=jnp.array([r, 0.0, 0.0]),
+                     spins=jnp.array([1.0]),
+                     atoms=jnp.zeros((1, 3)),
+                     charges=jnp.array([4.0]))
+    got = float(jnp.sum(fn(data)))
+    want = (-4.0 / r
+            + 4.0 * r ** (1 - 2) * np.exp(-14.43502 * r ** 2)
+            + 57.74008 * r ** (3 - 2) * np.exp(-8.39889 * r ** 2)
+            - 25.81955 * r ** (2 - 2) * np.exp(-7.38188 * r ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_nonlocal_s_symmetric_wavefunction():
+    """For an s-symmetric psi the ratios are angle-independent, so only the l=0
+    projector survives and E_nl = v_0(r) exactly (weights sum to 1)."""
+
+    def f(params, pos, spins, atoms, charges):
+        del params, spins, charges
+        r = jnp.linalg.norm(jnp.reshape(pos, (-1, 3)) - atoms[0], axis=-1)
+        return jnp.zeros(()), -jnp.sum(r)  # exp(-sum r_i): s-symmetric
+
+    nelec, natoms = 1, 1
+    nl = ecp.make_nonlocal_pp_energy(
+        signed_network=f, nelectrons=nelec, natoms=natoms, ndim=3, list_l=2,
+        rn_non_local=jnp.asarray(C_RN_NON_LOCAL),
+        non_local_coefficient=jnp.asarray(C_NON_LOCAL_COES),
+        non_local_exponent=jnp.asarray(C_NON_LOCAL_EXPS))
+    r = 0.5
+    data = AINetData(positions=jnp.array([0.0, 0.0, r]),
+                     spins=jnp.array([1.0]),
+                     atoms=jnp.zeros((1, 3)),
+                     charges=jnp.array([4.0]))
+    got = float(nl(None, jax.random.PRNGKey(0), data))
+    v0 = 52.13345 * r ** (2 - 2) * np.exp(-7.76079 * r ** 2)
+    np.testing.assert_allclose(got, v0, rtol=1e-4)
+
+
+def test_nonlocal_rotation_invariance_for_s_state():
+    """Different random rotations must give identical results for an s state."""
+
+    def f(params, pos, spins, atoms, charges):
+        del params, spins, charges
+        r = jnp.linalg.norm(jnp.reshape(pos, (-1, 3)) - atoms[0], axis=-1)
+        return jnp.zeros(()), -jnp.sum(r ** 2)
+
+    nl = ecp.make_nonlocal_pp_energy(
+        signed_network=f, nelectrons=2, natoms=1, ndim=3, list_l=2,
+        rn_non_local=jnp.asarray(C_RN_NON_LOCAL),
+        non_local_coefficient=jnp.asarray(C_NON_LOCAL_COES),
+        non_local_exponent=jnp.asarray(C_NON_LOCAL_EXPS))
+    data = AINetData(positions=jnp.array([0.1, 0.2, 0.5, -0.4, 0.3, 0.2]),
+                     spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)),
+                     charges=jnp.array([4.0]))
+    e1 = float(nl(None, jax.random.PRNGKey(1), data))
+    e2 = float(nl(None, jax.random.PRNGKey(2), data))
+    np.testing.assert_allclose(e1, e2, rtol=1e-4)
+
+
+def test_reference_compat_scaling():
+    """reference_compat reproduces the reference's 1/(4 pi) and r^n conventions."""
+
+    def f(params, pos, spins, atoms, charges):
+        del params, spins, charges
+        r = jnp.linalg.norm(jnp.reshape(pos, (-1, 3)) - atoms[0], axis=-1)
+        return jnp.zeros(()), -jnp.sum(r)
+
+    kwargs = dict(
+        signed_network=f, nelectrons=1, natoms=1, ndim=3, list_l=2,
+        rn_non_local=jnp.asarray(C_RN_NON_LOCAL),
+        non_local_coefficient=jnp.asarray(C_NON_LOCAL_COES),
+        non_local_exponent=jnp.asarray(C_NON_LOCAL_EXPS))
+    nl_std = ecp.make_nonlocal_pp_energy(**kwargs)
+    nl_ref = ecp.make_nonlocal_pp_energy(reference_compat=True, **kwargs)
+    r = 0.5
+    data = AINetData(positions=jnp.array([0.0, 0.0, r]),
+                     spins=jnp.array([1.0]),
+                     atoms=jnp.zeros((1, 3)),
+                     charges=jnp.array([4.0]))
+    e_std = float(nl_std(None, jax.random.PRNGKey(0), data))
+    e_ref = float(nl_ref(None, jax.random.PRNGKey(0), data))
+    # reference mode: extra r^2 in v_l and 1/(4 pi) in P_l.
+    np.testing.assert_allclose(e_ref, e_std * r ** 2 / (4 * np.pi), rtol=1e-4)
