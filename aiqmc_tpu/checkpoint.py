@@ -118,7 +118,17 @@ def restore(restore_filename: str,
         leaves = [leaf_dict[str(i)] for i in range(len(leaf_dict))]
         if target_opt_state is not None:
             treedef = jax.tree_util.tree_structure(target_opt_state)
-            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+            try:
+                opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+            except ValueError:
+                # Restoring under a different optimizer (e.g. evaluating a VMC
+                # checkpoint with optimizer='none', or switching adam<->kfac):
+                # keep the freshly initialised state; params/walkers are what
+                # matter.
+                logging.warning(
+                    "Checkpoint optimizer state does not match the current "
+                    "optimizer; reinitialising optimizer state.")
+                opt_state = target_opt_state
         else:
             opt_state = leaves
     if batch_size is not None and data.positions.shape[0] != batch_size:

@@ -78,6 +78,7 @@ def propose_drift_diffusion(signed_network,
             # ref DMC/drift_diffusion.py:87-89).
             same_side = jnp.cos(phase2 - phase) > 0.0
             acceptance = acceptance * same_side.astype(acceptance.dtype)
+            acceptance = jnp.where(jnp.isfinite(acceptance), acceptance, 0.0)
             rnd = jax.random.uniform(accept_key, shape=acceptance.shape)
             stuck = ~jnp.isfinite(logpsi) & jnp.isfinite(logpsi2)
             accept = (acceptance > rnd) | stuck

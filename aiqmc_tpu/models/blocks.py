@@ -74,13 +74,23 @@ vmap_linear_layer = jax.vmap(linear_layer, in_axes=(0, None, None), out_axes=0)
 CONV_GROUP = 4
 
 
+def conv_padded_dim(in_dim: int) -> int:
+    """Input width after zero-padding to a CONV_GROUP multiple.
+
+    The reference requires feature dims divisible by 4 (network_blocks.py:109);
+    padding removes that constraint on hidden/feature sizes.
+    """
+    return -(-in_dim // CONV_GROUP) * CONV_GROUP
+
+
 def init_convolu_layer(nelectrons: int, key: chex.PRNGKey, in_dim_1: int,
                        in_dim_2: int, include_bias: bool = True
                        ) -> MutableMapping[str, jnp.ndarray]:
     """Per-electron elementwise weights for the grouped-reduce layer.
 
     Ref network_blocks.py:88-102: w has shape (nelectrons, in_dim_2) scaled by
-    1/sqrt(in_dim_1); bias has shape (nelectrons, in_dim_2 / 4).
+    1/sqrt(in_dim_1); bias has shape (nelectrons, in_dim_2 / 4). in_dim_2 must
+    already be padded to a CONV_GROUP multiple (see conv_padded_dim).
     """
     if in_dim_2 % CONV_GROUP != 0:
         raise ValueError(
@@ -100,8 +110,12 @@ def convolu_layer(nelectrons: int, x: jnp.ndarray, w: jnp.ndarray,
 
     Reshapes (nelec, D) inputs and weights to (nelec, D/4, 4), takes the mean of
     the elementwise product over the trailing group of 4 and adds a per-electron
-    bias. Pure VPU work; XLA fuses it with the surrounding tanh.
+    bias. Inputs narrower than the weights are zero-padded. Pure VPU work; XLA
+    fuses it with the surrounding tanh.
     """
+    pad = w.shape[-1] - x.shape[-1]
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
     x = jnp.reshape(x, (nelectrons, -1, CONV_GROUP))
     w = jnp.reshape(w, (nelectrons, -1, CONV_GROUP))
     y = jnp.mean(x * w, axis=-1)

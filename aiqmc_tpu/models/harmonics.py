@@ -52,20 +52,28 @@ def y_sp_regular(ae: jnp.ndarray) -> jnp.ndarray:
     c0 = 0.5 / _SQRT_PI
     c1 = np.sqrt(3.0 / (4.0 * np.pi))
     ones = jnp.ones_like(ae[..., 0])
+    r2 = jnp.sum(ae * ae, axis=-1)
+    p_scale = 1.0 / jnp.sqrt(1.0 + r2)  # bounded: -> Y_1m(u) at large r
     return jnp.stack(
-        [c0 * ones, c1 * ae[..., 0], c1 * ae[..., 1], c1 * ae[..., 2]], axis=-1)
+        [c0 * ones,
+         c1 * ae[..., 0] * p_scale,
+         c1 * ae[..., 1] * p_scale,
+         c1 * ae[..., 2] * p_scale], axis=-1)
 
 
 def y_df_regular(ae: jnp.ndarray) -> jnp.ndarray:
-    """Regular solid-harmonic d + f features: smooth polynomials of ae.
+    """Smooth, bounded d + f solid-harmonic features of ae.
 
-    Equal to the reference's rows multiplied by r^4 (d) / r^6 (f) — i.e. the
-    physically standard regular solid harmonics r^l Y_lm instead of the
-    irregular Y_lm / r^l, which are singular at the nuclei (the source of the
-    reference's NaN war stories, ref nn.py:176-181).
+    The regular solid harmonics r^l Y_lm are smooth polynomials (the reference's
+    irregular Y_lm / r^l rows are singular at the nuclei — the source of its NaN
+    war stories, ref nn.py:176-181); we additionally normalise by
+    (1 + r^2)^(l/2), which keeps the features O(1) at large r (-> Y_lm(u)) while
+    staying polynomial-smooth near the nucleus.
     """
     x, y, z = ae[..., 0], ae[..., 1], ae[..., 2]
     r2 = x * x + y * y + z * z
+    d_scale = 1.0 / (1.0 + r2)
+    f_scale = d_scale / jnp.sqrt(1.0 + r2)
     s15 = np.sqrt(15.0 / np.pi)
     s5 = np.sqrt(5.0 / np.pi)
     s35_2 = np.sqrt(35.0 / (2.0 * np.pi))
@@ -88,6 +96,8 @@ def y_df_regular(ae: jnp.ndarray) -> jnp.ndarray:
         0.25 * s105 * (x ** 2 - y ** 2) * z,
         0.25 * s35_2 * x * (x ** 2 - 3.0 * y ** 2),
     ]
+    d_rows = [row * d_scale for row in d_rows]
+    f_rows = [row * f_scale for row in f_rows]
     return jnp.stack(d_rows + f_rows, axis=-1)
 
 

@@ -123,7 +123,8 @@ def make_ai_net_layers(nspins: Tuple[int, int],
             key, convolu_key, single_key, single_y_key, double_key = jax.random.split(key, num=5)
             layer_params = {}
             layer_params_y = {}
-            dims_one_full = nfeatures(dims_one_in, dims_two_in)
+            dims_one_full = network_blocks.conv_padded_dim(
+                nfeatures(dims_one_in, dims_two_in))
             dims_one_out, dims_two_out = hidden_dims[i]
             dims_y_out = hidden_dims_Ynlm[i]
             # Grouped-reduce weights: per-electron in reference mode, shared for
@@ -230,7 +231,8 @@ def make_orbitals(nspins: Tuple[int, int],
                   full_equivariance: bool = False,
                   complex_orbitals: bool = True,
                   bounded_envelope: bool = False,
-                  jastrow_scale: Optional[float] = None):
+                  jastrow_scale: Optional[float] = None,
+                  lattice: Optional[jnp.ndarray] = None):
     """(Complex) orbitals x envelope x Y-orbitals x Jastrows (ref nn.py:356-508)."""
     equivariant_layers_init, equivariant_layers_apply = equivariant_layers
     (jastrow_ee_init, jastrow_ee_apply, jastrow_ae_init, jastrow_ae_apply
@@ -276,6 +278,20 @@ def make_orbitals(nspins: Tuple[int, int],
     def apply(params, pos, spins, atoms, charges_in) -> Sequence[jnp.ndarray]:
         del spins, charges_in  # static bookkeeping is baked in at build time
         ae, ee, r_ae, r_ee = construct_input_features(pos, atoms, ndim=ndim)
+        if lattice is not None:
+            # Periodic ansatz: all displacement-derived quantities (harmonics,
+            # envelope, Jastrows) use minimum-image vectors so log|psi| is
+            # invariant under lattice translations of any electron; the
+            # periodic feature layer is translation-invariant by construction.
+            from aiqmc_tpu.pbc.enforce import minimum_image
+            ae = minimum_image(lattice, ae)
+            ee_mi = minimum_image(lattice, ee)
+            nelec = ee.shape[0]
+            eye = jnp.eye(nelec)
+            ee = ee_mi * (1.0 - eye)[..., None]
+            r_ae = jnp.linalg.norm(ae, axis=2, keepdims=True)
+            r_ee = (jnp.linalg.norm(ee + eye[..., None], axis=-1)
+                    * (1.0 - eye))[..., None]
         h_to_orbitals, y_to_orbitals = equivariant_layers_apply(
             params["layers"], ae=ae, r_ae=r_ae, ee=ee, r_ee=r_ee)
 
@@ -354,14 +370,28 @@ def make_ai_net(nspins: Tuple[int, int],
                 complex_orbitals: bool = True,
                 bounded_envelope: bool = False,
                 jastrow_scale: Optional[float] = None,
-                regular_harmonics: bool = False) -> Network:
-    """Builds the AI-Net (ref nn.py:511-553). See module docstring for options."""
+                regular_harmonics: bool = False,
+                lattice: Optional[jnp.ndarray] = None) -> Network:
+    """Builds the AI-Net (ref nn.py:511-553). See module docstring for options.
+
+    ``lattice`` (rows = primitive vectors) switches to the periodic ansatz:
+    sin/cos phase features (ref ferminet/pbc/feature_layer.py; the AIQMC tree's
+    g-vector variant is PBC/nnPBC.py) and minimum-image displacements for the
+    Y_nlm stream, envelope and Jastrows.
+    """
     spin_up_indices = np.asarray(spin_up_indices).reshape(-1)
     spin_down_indices = np.asarray(spin_down_indices).reshape(-1)
     parallel_indices = np.asarray(parallel_indices)
     antiparallel_indices = np.asarray(antiparallel_indices)
 
-    feature_layer = make_ainet_features(natoms, ndim=ndim, rescale_inputs=rescale_inputs)
+    if lattice is not None:
+        from aiqmc_tpu.pbc.features import make_pbc_feature_layer
+        lattice = jnp.asarray(lattice)
+        feature_layer = make_pbc_feature_layer(
+            natoms, ndim=ndim, rescale_inputs=rescale_inputs, lattice=lattice)
+    else:
+        feature_layer = make_ainet_features(
+            natoms, ndim=ndim, rescale_inputs=rescale_inputs)
     equivariant_layers = make_ai_net_layers(
         nspins, nelectrons, natoms, tuple(hidden_dims), tuple(hidden_dims_Ynlm),
         feature_layer, spin_up_indices, spin_down_indices,
@@ -375,7 +405,8 @@ def make_ai_net(nspins: Tuple[int, int],
         equivariant_layers=equivariant_layers, ndim=ndim,
         determinants=determinants, bias_orbitals=bias_orbitals,
         full_equivariance=full_equivariance, complex_orbitals=complex_orbitals,
-        bounded_envelope=bounded_envelope, jastrow_scale=jastrow_scale)
+        bounded_envelope=bounded_envelope, jastrow_scale=jastrow_scale,
+        lattice=lattice)
 
     def init(key: chex.PRNGKey) -> ParamTree:
         _, subkey = jax.random.split(key)

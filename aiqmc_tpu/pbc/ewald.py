@@ -1,0 +1,141 @@
+"""3D Ewald summation for periodic Coulomb interactions.
+
+Capability parity with the vendored upstream formulation
+(ref ferminet/pbc/hamiltonian.py:32-150: erfc-screened real-space sum over a
+lattice-point cluster, Gaussian-screened reciprocal sum, Madelung constant,
+first-cell reduction, optional HEG neutralising background).
+
+TPU notes: the reciprocal-space sum is written with cos(k.r) instead of the
+reference's complex exponential (the k-point set is inversion symmetric, so the
+imaginary parts cancel exactly) — complex64 is unavailable on this TPU backend.
+Lattice convention: ROWS of ``lattice`` are the primitive vectors.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Optional, Sequence, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_ewald_potential(lattice: jnp.ndarray,
+                         atoms: jnp.ndarray,
+                         charges: jnp.ndarray,
+                         truncation_limit: int = 5,
+                         include_heg_background: bool = True
+                         ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Returns f(ae, ee) evaluating the periodic Coulomb energy via Ewald."""
+    lattice = jnp.asarray(lattice)
+    # Rows of rec are reciprocal vectors: rec @ lattice.T = 2 pi I.
+    rec = 2 * jnp.pi * jnp.linalg.inv(lattice).T
+    volume = jnp.abs(jnp.linalg.det(lattice))
+    gamma = (2.8 / volume ** (1 / 3)) ** 2
+    ordinals = sorted(range(-truncation_limit, truncation_limit + 1), key=abs)
+    ordinals = np.array(list(itertools.product(ordinals, repeat=3)))
+    lat_vectors = jnp.asarray(ordinals) @ lattice   # (n, 3)
+    rec_vectors = jnp.asarray(ordinals[1:]) @ rec   # (n-1, 3), excludes k=0
+    rec_vec_square = jnp.einsum("ij,ij->i", rec_vectors, rec_vectors)
+    lat_vec_norm = jnp.linalg.norm(lat_vectors[1:], axis=-1)
+
+    def real_space_ewald(separation: jnp.ndarray) -> jnp.ndarray:
+        displacements = jnp.linalg.norm(separation - lat_vectors, axis=-1)
+        return jnp.sum(
+            jax.scipy.special.erfc(gamma ** 0.5 * displacements) / displacements)
+
+    def recp_space_ewald(separation: jnp.ndarray) -> jnp.ndarray:
+        # cos instead of exp(1j ...): the +-k pairs cancel the imaginary part.
+        return (4 * jnp.pi / volume) * jnp.sum(
+            jnp.cos(rec_vectors @ separation)
+            * jnp.exp(-rec_vec_square / (4 * gamma)) / rec_vec_square)
+
+    def ewald_sum(separation: jnp.ndarray) -> jnp.ndarray:
+        return (real_space_ewald(separation) + recp_space_ewald(separation)
+                - jnp.pi / (volume * gamma))
+
+    madelung_const = (
+        jnp.sum(jax.scipy.special.erfc(gamma ** 0.5 * lat_vec_norm)
+                / lat_vec_norm)
+        - 2 * gamma ** 0.5 / jnp.pi ** 0.5
+        + (4 * jnp.pi / volume)
+        * jnp.sum(jnp.exp(-rec_vec_square / (4 * gamma)) / rec_vec_square)
+        - jnp.pi / (volume * gamma))
+
+    batch_ewald_sum = jax.vmap(ewald_sum, in_axes=(0,))
+
+    def atom_electron_potential(ae: jnp.ndarray) -> jnp.ndarray:
+        nelec = ae.shape[0]
+        ae = jnp.reshape(ae, [-1, 3])
+        ewald = batch_ewald_sum(ae) - madelung_const
+        return jnp.sum(-jnp.tile(charges, nelec) * ewald)
+
+    def electron_electron_potential(ee: jnp.ndarray) -> jnp.ndarray:
+        nelec = ee.shape[0]
+        ee_flat = jnp.reshape(ee, [-1, 3])
+        if include_heg_background:
+            ewald = batch_ewald_sum(ee_flat)
+        else:
+            ewald = batch_ewald_sum(ee_flat) - madelung_const
+        ewald = jnp.reshape(ewald, [nelec, nelec])
+        ewald = ewald.at[jnp.diag_indices(nelec)].set(0.0)
+        if include_heg_background:
+            return 0.5 * jnp.sum(ewald) + 0.5 * nelec * madelung_const
+        return 0.5 * jnp.sum(ewald)
+
+    natom = atoms.shape[0]
+    if natom > 1:
+        aa = jnp.reshape(atoms, [1, -1, 3]) - jnp.reshape(atoms, [-1, 1, 3])
+        aa = jnp.reshape(aa, [-1, 3])
+        chargeprods = (charges[..., None] @ charges[..., None].T).flatten()
+        ewald = batch_ewald_sum(aa) - madelung_const
+        ewald = jnp.reshape(ewald, [natom, natom])
+        ewald = ewald.at[jnp.diag_indices(natom)].set(0.0).flatten()
+        atom_atom_potential = 0.5 * jnp.sum(chargeprods * ewald)
+    else:
+        atom_atom_potential = jnp.zeros(())
+
+    inv_lattice = jnp.linalg.inv(lattice)
+
+    def potential(ae: jnp.ndarray, ee: jnp.ndarray) -> jnp.ndarray:
+        # Reduce separations into the first cell before summing.
+        prim_ae = jnp.mod(ae @ inv_lattice, 1.0) @ lattice
+        prim_ee = jnp.mod(ee @ inv_lattice, 1.0) @ lattice
+        return (atom_electron_potential(prim_ae)
+                + electron_electron_potential(prim_ee) + atom_atom_potential)
+
+    return potential
+
+
+def local_energy(f,
+                 charges: jnp.ndarray,
+                 nspins: Sequence[int],
+                 use_scan: bool = False,
+                 complex_output: bool = False,
+                 lattice: Optional[jnp.ndarray] = None,
+                 heg: bool = False,
+                 convergence_radius: int = 5,
+                 laplacian_chunk: Optional[int] = None):
+    """Periodic local energy (ref ferminet/pbc/hamiltonian.py:153-214)."""
+    from aiqmc_tpu.hamiltonian.kinetic import local_kinetic_energy
+    from aiqmc_tpu.models.features import construct_input_features
+
+    del nspins
+    if lattice is None:
+        lattice = jnp.eye(3)
+    ke = local_kinetic_energy(f, use_scan=use_scan,
+                              complex_output=complex_output,
+                              laplacian_chunk=laplacian_chunk)
+
+    def _e_l(params, key: chex.PRNGKey, data) -> Tuple[jnp.ndarray, None]:
+        del key
+        potential_fn = make_ewald_potential(
+            lattice, data.atoms, charges, convergence_radius, heg)
+        ae, ee, _, _ = construct_input_features(data.positions, data.atoms)
+        potential = potential_fn(ae, ee)
+        kinetic = ke(params, data)
+        return potential + kinetic, None
+
+    return _e_l

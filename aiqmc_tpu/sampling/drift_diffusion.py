@@ -41,7 +41,13 @@ from aiqmc_tpu.utils.utils import select_output
 
 
 def limdrift_electron(g: jnp.ndarray, tau: float, acyrus: float) -> jnp.ndarray:
-    """Cyrus-Umrigar limited drift velocity for one electron's (..., 3) grad."""
+    """Cyrus-Umrigar limited drift velocity for one electron's (..., 3) grad.
+
+    Non-finite gradient components (e.g. the norm gradient at exactly
+    coincident particles) are replaced by zero drift so the walker still
+    diffuses rather than proposing NaN moves forever.
+    """
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
     v2 = jnp.sum(g ** 2, axis=-1, keepdims=True)
     taueff = (jnp.sqrt(1.0 + 2.0 * tau * acyrus * v2) - 1.0) / (acyrus * v2 + 1e-12)
     return g * taueff / tau
@@ -103,6 +109,7 @@ def walkers_update(logabs_f,
         log_t = (forward - backward) / (2.0 * tstep)
         log_ratio = 2.0 * (logpsi2 - logpsi) + log_t
         acceptance = jnp.exp(jnp.minimum(log_ratio, 0.0))
+        acceptance = jnp.where(jnp.isfinite(acceptance), acceptance, 0.0)
         rnd = jax.random.uniform(accept_key, shape=acceptance.shape)
         stuck = ~jnp.isfinite(logpsi) & jnp.isfinite(logpsi2)
         accept = (acceptance > rnd) | stuck
@@ -124,9 +131,15 @@ def main_monte_carlo(f,
                      ndim: int,
                      nelectrons: int,
                      nsteps: int,
-                     batch_size: int):
+                     batch_size: int,
+                     lattice=None):
     """Builds mc_step(params, data, key) running nsteps sweeps under jit
-    (ref VMCmcstep.py:121-140). Returns (new_data, mean acceptance)."""
+    (ref VMCmcstep.py:121-140). Returns (new_data, mean acceptance).
+
+    ``lattice`` wraps walkers into the primitive cell after the sweeps
+    (ref PBC/enforcePBC.py:23-45, applied inside the sampler as the reference
+    intended, see its comment at :22).
+    """
     logabs_f = select_output(f, 1)
 
     def mc_step(params, data: AINetData, key: chex.PRNGKey):
@@ -139,6 +152,10 @@ def main_monte_carlo(f,
 
         pmove0 = jnp.zeros(())
         new_data, _, pmove = lax.fori_loop(0, nsteps, step_fn, (data, key, pmove0))
+        if lattice is not None:
+            from aiqmc_tpu.pbc.enforce import enforce_pbc
+            new_data = AINetData(**(dict(new_data) | {
+                "positions": enforce_pbc(lattice, new_data.positions)}))
         return new_data, pmove
 
     return mc_step

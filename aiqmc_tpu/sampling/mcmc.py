@@ -35,7 +35,8 @@ def mh_update(logprob_fn, x1, lp1, key, width) -> Tuple[jnp.ndarray, jnp.ndarray
     return x_new, lp_new, jnp.mean(cond.astype(x1.dtype))
 
 
-def make_mcmc_step(batch_network, batch_per_device: int, steps: int = 10):
+def make_mcmc_step(batch_network, batch_per_device: int, steps: int = 10,
+                   lattice=None):
     """Builds mcmc_step(params, data, key, width) -> (new_data, pmove)."""
     del batch_per_device
 
@@ -54,6 +55,9 @@ def make_mcmc_step(batch_network, batch_per_device: int, steps: int = 10):
 
         x, _, _, acc = lax.fori_loop(
             0, steps, body, (data.positions, lp0, key, jnp.zeros(())))
+        if lattice is not None:
+            from aiqmc_tpu.pbc.enforce import enforce_pbc
+            x = enforce_pbc(lattice, x)
         new_data = AINetData(**(dict(data) | {"positions": x}))
         return new_data, acc / steps
 

@@ -1,0 +1,70 @@
+"""Observable estimator tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aiqmc_tpu import observables
+from aiqmc_tpu.models import network as nn, spin_indices
+from aiqmc_tpu.models.network import AINetData
+
+
+def _net(nelec=4):
+    spins = np.array([1.0] * (nelec // 2) + [-1.0] * (nelec - nelec // 2))
+    atoms = jnp.zeros((1, 3))
+    charges = jnp.asarray([float(nelec)])
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelec)
+    up, down = spin_indices.spin_indices_h(spins)
+    net = nn.make_ai_net(
+        nspins=(len(up), len(down)), charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=1,
+        nelectrons=nelec, full_equivariance=True, complex_orbitals=False)
+    return net, jnp.asarray(spins), atoms, charges
+
+
+def test_s2_one_electron():
+    def f(params, pos, spins, atoms, charges):
+        return jnp.ones(()), -jnp.sum(pos ** 2)
+
+    s2 = observables.make_s2(f, (1, 0))
+    data = AINetData(positions=jnp.ones((3,)), spins=jnp.array([1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.ones((1,)))
+    np.testing.assert_allclose(float(s2(None, data)), 0.75)
+
+
+def test_s2_finite_on_network():
+    net, spins, atoms, charges = _net(4)
+    params = net.init(jax.random.PRNGKey(0))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (12,))
+    data = AINetData(positions=pos, spins=spins, atoms=atoms, charges=charges)
+    s2 = observables.make_s2(net.apply, (2, 2))
+    val = float(s2(params, data))
+    assert np.isfinite(val)
+
+
+def test_dipole():
+    d = observables.make_dipole()
+    pos = jnp.array([1.0, 0.0, 0.0, 0.0, 2.0, 0.0])
+    data = AINetData(positions=pos, spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.ones((1,)))
+    np.testing.assert_allclose(np.asarray(d(None, data)), [-1.0, -2.0, 0.0])
+
+
+def test_batched_observable():
+    d = observables.make_observable_fns(observables.make_dipole())
+    pos = jnp.stack([jnp.array([1.0, 0, 0, 0, 0, 0]),
+                     jnp.array([3.0, 0, 0, 0, 0, 0])])
+    data = AINetData(positions=pos, spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.ones((1,)))
+    np.testing.assert_allclose(np.asarray(d(None, data)), [-2.0, 0.0, 0.0])
+
+
+def test_density_histogram():
+    dens = observables.make_density(bins=10, limit=5.0)
+    pos = jnp.array([[1.0, 0, 0, 0, 3.0, 0]])
+    data = AINetData(positions=pos, spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.ones((1,)))
+    hist = np.asarray(dens(data))
+    assert hist.sum() == 2
+    assert hist[2] == 1  # r = 1.0 in bin [1.0, 1.5)
