@@ -82,7 +82,16 @@ def default() -> ml_collections.ConfigDict:
                 "non_local_exps": None,
                 "reference_compat": False,
             },
-            "structure": None,          # lattice (PBC; ignored for molecules)
+            "structure": None,          # lattice rows (PBC; ignored otherwise)
+            "pbc": False,               # periodic ansatz + Ewald local energy
+            "ewald": {
+                "truncation_limit": 5,
+                "heg": False,
+            },
+        },
+        "observables": {
+            "s2": False,                # spin magnitude <S^2>
+            "dipole": False,            # electric dipole moment
         },
         "log": {
             "save_path": "",

@@ -40,11 +40,14 @@ def make_pp_like_envelope(per_electron: bool = True, bounded: bool = False):
     exp(-ae * pi) — which GROWS exponentially for negative displacement
     components and makes |psi|^2 non-normalisable once pi/beta drift under
     optimisation (walkers then escape to infinity and the envelope underflows
-    to log 0) — by the decaying-everywhere form
-        exp(-|ae| * softplus(pi)),
-    and constrains the Gaussian decay with softplus(beta). At the reference
-    initialisation (all ones) the two agree in scale; only the far tail
-    changes.
+    to log 0) — by the decaying-everywhere SMOOTH form
+        exp(-softplus(pi) * (sqrt(1 + ae^2) - 1))   (per component),
+    and constrains the Gaussian decay with softplus(beta). The smoothing
+    matters: a |ae|-type kink on the coordinate planes through each nucleus
+    adds positive surface kinetic terms that the log-derivative local energy
+    never samples, so <E_L> can fall BELOW the true <H> (observed as a
+    variational violation on He). sqrt(1+x^2)-1 is smooth, 0 at the nucleus and
+    ~|x| at large distance.
     """
 
     def init(natom: int, nelectrons: int, ndim: int = 3) -> Mapping[str, jnp.ndarray]:
@@ -63,7 +66,7 @@ def make_pp_like_envelope(per_electron: bool = True, bounded: bool = False):
     def _aniso_exponent(ae, pi):
         # ae broadcast against pi; exponent per (electron, [orbital,] atom, dim)
         if bounded:
-            return -jnp.abs(ae) * jax.nn.softplus(pi)
+            return -(jnp.sqrt(1.0 + jnp.square(ae)) - 1.0) * jax.nn.softplus(pi)
         return -ae * pi
 
     def apply_per_electron(r_ae: jnp.ndarray, ae: jnp.ndarray, params) -> jnp.ndarray:

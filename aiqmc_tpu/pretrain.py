@@ -1,0 +1,168 @@
+"""Orbital pretraining.
+
+Capability parity with ref ``ferminet/pretrain.py:119-311`` (MSE of the network
+orbital matrices against target single-particle orbitals, interleaved with MCMC
+on the current ansatz). The upstream targets are pyscf Hartree-Fock orbitals;
+pyscf is not available in this environment, so the built-in target is a
+Slater-rules hydrogenic minimal basis (1s/2s/2p with screened exponents), and
+any callable with the same signature — e.g. a pyscf-backed one where pyscf
+exists — can be passed instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aiqmc_tpu.models.network import AINetData
+from aiqmc_tpu.sampling import mcmc as rw_mcmc
+
+TargetOrbitals = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def _slater_orbitals(z: float):
+    """Occupied hydrogenic orbital functions for an atom of charge z.
+
+    Returns a list of callables r_vec -> orbital value, in filling order
+    (1s, 2s, 2p_z, 2p_x, 2p_y), with Slater-screened exponents.
+    """
+    z = float(z)
+    zeta1 = max(z - 0.3, 0.7)
+    n1 = min(z, 2.0)
+    zeta2 = max((z - 0.35 * 1 - 0.85 * n1) / 2.0, 0.5)
+
+    def s1(rv):
+        r = jnp.linalg.norm(rv, axis=-1)
+        return jnp.exp(-zeta1 * r)
+
+    def s2(rv):
+        r = jnp.linalg.norm(rv, axis=-1)
+        return (1.0 - zeta2 * r) * jnp.exp(-zeta2 * r)
+
+    def p(axis):
+        def _p(rv):
+            r = jnp.linalg.norm(rv, axis=-1)
+            return rv[..., axis] * jnp.exp(-zeta2 * r)
+
+        return _p
+
+    return [s1, s2, p(2), p(0), p(1)]
+
+
+def make_hydrogenic_orbitals(atoms: np.ndarray, charges: np.ndarray,
+                             nspins: Tuple[int, int]) -> TargetOrbitals:
+    """Builds target orbitals phi_k(r) for each spin channel.
+
+    Orbitals are filled per atom in energy order, alternating spins (paired
+    first), mirroring aufbau filling; crude but an effective pretraining
+    target in the absence of an SCF solver.
+    """
+    atoms = np.asarray(atoms)
+    charges = np.asarray(charges)
+    # Build (orbital fn, atom index) assignments per spin channel.
+    assignments = {0: [], 1: []}
+    remaining = [nspins[0], nspins[1]]
+    # Round-robin over atoms, filling each atom's orbital ladder with up to 2
+    # electrons per orbital across the molecule until channels are full.
+    ladders = [( _slater_orbitals(z), a) for a, z in enumerate(charges)]
+    level = 0
+    while (remaining[0] > 0 or remaining[1] > 0) and level < 5:
+        for fns, a in ladders:
+            if level < len(fns):
+                for spin in (0, 1):
+                    if remaining[spin] > 0:
+                        assignments[spin].append((fns[level], a))
+                        remaining[spin] -= 1
+        level += 1
+    if remaining[0] > 0 or remaining[1] > 0:
+        raise ValueError("Not enough target orbitals for the electron count")
+
+    atoms_j = jnp.asarray(atoms)
+
+    def targets(pos: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """pos: (nelec * 3,) -> (phi_up (n_up, n_up), phi_down (n_dn, n_dn))."""
+        x = jnp.reshape(pos, (-1, 3))
+        xu, xd = x[:nspins[0]], x[nspins[0]:]
+        mats = []
+        for spin, xs in ((0, xu), (1, xd)):
+            cols = [fn(xs - atoms_j[a][None]) for fn, a in assignments[spin]]
+            mats.append(jnp.stack(cols, axis=-1) if cols else
+                        jnp.zeros((0, 0)))
+        return mats[0], mats[1]
+
+    return targets
+
+
+def make_pretrain_step(network_orbitals,
+                       batch_network,
+                       target_fn: TargetOrbitals,
+                       optimizer: optax.GradientTransformation,
+                       nspins: Tuple[int, int],
+                       mcmc_width: float = 0.2,
+                       mcmc_steps: int = 5):
+    """One pretraining step: orbital-MSE update + MCMC on the current ansatz
+    (ref pretrain.py:119-227)."""
+    n_up = nspins[0]
+
+    def loss_fn(params, data: AINetData):
+        def single(pos):
+            dets = network_orbitals(params, pos, data.spins, data.atoms,
+                                    data.charges)[0]  # (ndet, nelec, nelec)
+            phi_up, phi_down = target_fn(pos)
+            nelec = dets.shape[-1]
+            target = jnp.zeros((nelec, nelec), dets.dtype)
+            target = target.at[:n_up, :n_up].set(phi_up)
+            target = target.at[n_up:, n_up:].set(phi_down)
+            diff = dets.real - target[None]
+            return jnp.mean(jnp.square(diff))
+
+        return jnp.mean(jax.vmap(single)(data.positions))
+
+    mcmc_step = rw_mcmc.make_mcmc_step(batch_network, 0, steps=mcmc_steps)
+
+    def step(params, opt_state, data: AINetData, key: chex.PRNGKey):
+        loss, grad = jax.value_and_grad(loss_fn)(params, data)
+        updates, opt_state = optimizer.update(grad, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        key, subkey = jax.random.split(key)
+        data, pmove = mcmc_step(params, data, subkey, mcmc_width)
+        return params, opt_state, data, loss, pmove
+
+    return step
+
+
+def pretrain_orbitals(network,
+                      data: AINetData,
+                      nspins: Tuple[int, int],
+                      iterations: int = 100,
+                      learning_rate: float = 3e-4,
+                      target_fn: Optional[TargetOrbitals] = None,
+                      key: Optional[chex.PRNGKey] = None,
+                      params=None):
+    """Pretrains network orbitals (ref pretrain.py:230-311). Returns
+    (params, data)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if params is None:
+        key, subkey = jax.random.split(key)
+        params = network.init(subkey)
+    if target_fn is None:
+        target_fn = make_hydrogenic_orbitals(
+            np.asarray(data.atoms), np.asarray(data.charges), nspins)
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    batch_network = jax.vmap(
+        lambda p, x, s, a, c: network.apply(p, x, s, a, c)[1],
+        in_axes=(None, 0, None, None, None))
+    step = jax.jit(make_pretrain_step(
+        network.orbitals, batch_network, target_fn, optimizer, nspins))
+    for _ in range(iterations):
+        key, subkey = jax.random.split(key)
+        params, opt_state, data, loss, pmove = step(params, opt_state, data,
+                                                    subkey)
+    return params, data

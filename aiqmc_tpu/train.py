@@ -80,12 +80,25 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         full_equivariance=cfg.network.full_equivariance,
         complex_orbitals=cfg.network.complex_orbitals,
         bounded_envelope=cfg.network.bounded_envelope,
-        regular_harmonics=cfg.network.regular_harmonics)
+        regular_harmonics=cfg.network.regular_harmonics,
+        lattice=(jnp.asarray(cfg.system.structure)
+                 if cfg.system.get("pbc", False) else None))
     return network, (up, down)
 
 
 def _build_local_energy(cfg, network):
     complex_output = cfg.network.complex_orbitals
+    if cfg.system.get("pbc", False):
+        from aiqmc_tpu.pbc import ewald
+        return ewald.local_energy(
+            f=network.apply,
+            charges=jnp.asarray(cfg.system.charges),
+            nspins=tuple(cfg.system.nspins),
+            complex_output=complex_output,
+            lattice=jnp.asarray(cfg.system.structure),
+            heg=cfg.system.ewald.heg,
+            convergence_radius=cfg.system.ewald.truncation_limit,
+            laplacian_chunk=cfg.optim.laplacian_chunk)
     if cfg.system.use_pp:
         pp = cfg.system.pp
         return pp_local_energy.local_energy(
@@ -116,14 +129,18 @@ def _build_local_energy(cfg, network):
 
 def _build_mcmc(cfg, network, batch_size: int):
     nelectrons = int(np.asarray(cfg.system.spins).size)
+    lattice = (jnp.asarray(cfg.system.structure)
+               if cfg.system.get("pbc", False) else None)
     if cfg.mcmc.algorithm == "drift_diffusion":
         return drift_diffusion.main_monte_carlo(
             f=network.apply, tstep=cfg.mcmc.tstep, ndim=cfg.system.ndim,
-            nelectrons=nelectrons, nsteps=cfg.mcmc.steps, batch_size=batch_size)
+            nelectrons=nelectrons, nsteps=cfg.mcmc.steps, batch_size=batch_size,
+            lattice=lattice)
     batch_network = jax.vmap(
         lambda p, x, s, a, c: network.apply(p, x, s, a, c)[1],
         in_axes=(None, 0, None, None, None))
-    step = rw_mcmc.make_mcmc_step(batch_network, batch_size, steps=cfg.mcmc.steps)
+    step = rw_mcmc.make_mcmc_step(batch_network, batch_size,
+                                  steps=cfg.mcmc.steps, lattice=lattice)
     width = cfg.mcmc.move_width
 
     def mc_step(params, data, key):
@@ -310,10 +327,26 @@ def train(cfg: ml_collections.ConfigDict,
             key, subkey = jax.random.split(key)
             data, _ = jit_mc(params, data, subkey)
 
+    # Optional observables (ref ferminet/train.py:599-641 wiring).
+    obs_fns = {}
+    if cfg.get("observables", None):
+        from aiqmc_tpu import observables as obs_lib
+        if cfg.observables.s2:
+            obs_fns["s2"] = jax.jit(obs_lib.make_observable_fns(
+                obs_lib.make_s2(network.apply, tuple(cfg.system.nspins))))
+        if cfg.observables.dipole:
+            obs_fns["dipole"] = jax.jit(obs_lib.make_observable_fns(
+                obs_lib.make_dipole(network.apply)))
+
+    schema = ["step", "energy", "variance", "pmove", "ewmean", "ewstd"]
+    schema += list(obs_fns.keys())
     if writer_manager is None:
         writer_manager = writers.Writer(
-            name="train_states", schema=["step", "energy", "variance", "pmove"],
+            name="train_states", schema=schema,
             directory=ckpt_save_path, iteration_key=None, log=False)
+
+    from aiqmc_tpu.utils.statistics import ExponentiallyWeightedStat
+    ew = ExponentiallyWeightedStat(decay=0.99)
 
     energies = []
     time_of_last_ckpt = time.time()
@@ -324,10 +357,15 @@ def train(cfg: ml_collections.ConfigDict,
                 params, opt_state, data, subkey)
             loss_host = float(np.asarray(jax.device_get(loss_val)).real)
             energies.append(loss_host)
+            if np.isfinite(loss_host):
+                ew.update(loss_host)
             if t % cfg.log.stats_frequency == 0:
+                extra = {name: float(np.asarray(fn(params, data)).reshape(-1)[0])
+                         for name, fn in obs_fns.items()}
                 writer.write(t, step=t, energy=loss_host,
                              variance=float(np.asarray(variance).real),
-                             pmove=float(np.asarray(pmove)))
+                             pmove=float(np.asarray(pmove)),
+                             ewmean=ew.mean, ewstd=ew.std, **extra)
             logging.info("Step %05d: %03.4f E_h", t, loss_host)
             if time.time() - time_of_last_ckpt > cfg.log.save_frequency * 60:
                 checkpoint_lib.save(ckpt_save_path, t, jax.device_get(data),

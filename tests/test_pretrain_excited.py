@@ -1,0 +1,86 @@
+"""Pretraining and excited-state ansatz tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aiqmc_tpu import pretrain
+from aiqmc_tpu.models import excited, network as nn, spin_indices
+from aiqmc_tpu.models.network import AINetData
+
+
+def _net(nelec=4, natoms=1):
+    spins = np.array([1.0] * (nelec // 2) + [-1.0] * (nelec - nelec // 2))
+    atoms = jnp.zeros((natoms, 3))
+    charges = jnp.asarray([float(nelec)] * natoms)
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelec)
+    up, down = spin_indices.spin_indices_h(spins)
+    net = nn.make_ai_net(
+        nspins=(len(up), len(down)), charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=natoms,
+        nelectrons=nelec, full_equivariance=True, complex_orbitals=False,
+        hidden_dims=((8, 4), (8, 4)), hidden_dims_Ynlm=(4, 4))
+    return net, jnp.asarray(spins), atoms, charges
+
+
+def test_hydrogenic_targets_shapes():
+    targets = pretrain.make_hydrogenic_orbitals(
+        np.zeros((1, 3)), np.array([4.0]), (2, 2))
+    pos = jnp.asarray(np.random.RandomState(0).normal(size=(12,)))
+    up, down = targets(pos)
+    assert up.shape == (2, 2)
+    assert down.shape == (2, 2)
+    assert np.isfinite(np.asarray(up)).all()
+
+
+def test_pretrain_reduces_orbital_loss():
+    net, spins, atoms, charges = _net()
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (32, 12))
+    data = AINetData(positions=pos, spins=spins, atoms=atoms, charges=charges)
+    params0, _ = pretrain.pretrain_orbitals(
+        net, data, (2, 2), iterations=1, key=key)
+    params1, _ = pretrain.pretrain_orbitals(
+        net, data, (2, 2), iterations=40, key=key)
+
+    targets = pretrain.make_hydrogenic_orbitals(
+        np.zeros((1, 3)), np.array([4.0]), (2, 2))
+
+    def orbital_loss(params):
+        def single(p):
+            dets = net.orbitals(params, p, spins, atoms, charges)[0]
+            up, down = targets(p)
+            target = jnp.zeros((4, 4))
+            target = target.at[:2, :2].set(up).at[2:, 2:].set(down)
+            return jnp.mean((dets.real - target[None]) ** 2)
+
+        return float(jnp.mean(jax.vmap(single)(pos)))
+
+    assert orbital_loss(params1) < orbital_loss(params0)
+
+
+def test_total_ansatz_antisymmetric_in_states():
+    """The total ansatz det[psi_i(x_j)] flips sign when two configurations are
+    exchanged."""
+    net, spins, atoms, charges = _net()
+    states = 2
+    init, apply = excited.make_total_ansatz(net, states)
+    params = init(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (states, 12))
+    sign1, log1 = apply(params, x.reshape(-1), spins, atoms, charges)
+    x_swapped = x[jnp.array([1, 0])]
+    sign2, log2 = apply(params, x_swapped.reshape(-1), spins, atoms, charges)
+    np.testing.assert_allclose(float(log1), float(log2), rtol=1e-5)
+    np.testing.assert_allclose(float(sign2), -float(sign1), atol=1e-6)
+
+
+def test_state_matrix_shape():
+    net, spins, atoms, charges = _net()
+    init, apply = excited.make_state_matrix(net, 3)
+    params = init(jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (3 * 12,))
+    sign, log = apply(params, x, spins, atoms, charges)
+    assert sign.shape == (3, 3)
+    assert log.shape == (3, 3)
