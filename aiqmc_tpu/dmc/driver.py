@@ -44,12 +44,12 @@ def main(atoms,
          nspins: Tuple[int, int],
          save_path: Optional[str],
          restore_path: Optional[str],
-         Rn_local,
-         Local_coes,
-         Local_exps,
-         Rn_non_local,
-         Non_local_coes,
-         Non_local_exps,
+         Rn_local=None,
+         Local_coes=None,
+         Local_exps=None,
+         Rn_non_local=None,
+         Non_local_coes=None,
+         Non_local_exps=None,
          save_frequency: float = 10.0,
          structure=None,
          list_l: int = 2,
@@ -90,15 +90,23 @@ def main(atoms,
         atoms=jnp.asarray(data.atoms), charges=jnp.asarray(data.charges))
 
     complex_output = network_kwargs.get("complex_orbitals", False)
-    localenergy = pp_local_energy.local_energy(
-        f=signed_network, lognetwork=None, charges=jnp.asarray(charges),
-        nspins=tuple(nspins), rn_local=jnp.asarray(Rn_local),
-        local_coes=jnp.asarray(Local_coes), local_exps=jnp.asarray(Local_exps),
-        rn_non_local=jnp.asarray(Rn_non_local),
-        non_local_coes=jnp.asarray(Non_local_coes),
-        non_local_exps=jnp.asarray(Non_local_exps), natoms=natoms,
-        nelectrons=nelectrons, ndim=ndim, list_l=list_l,
-        complex_output=complex_output)
+    all_electron = Rn_local is None
+    if all_electron:
+        from aiqmc_tpu.hamiltonian import local_energy as ae_local_energy
+        localenergy = ae_local_energy.local_energy(
+            f=signed_network, charges=jnp.asarray(charges),
+            nspins=tuple(nspins), complex_output=complex_output)
+    else:
+        localenergy = pp_local_energy.local_energy(
+            f=signed_network, lognetwork=None, charges=jnp.asarray(charges),
+            nspins=tuple(nspins), rn_local=jnp.asarray(Rn_local),
+            local_coes=jnp.asarray(Local_coes),
+            local_exps=jnp.asarray(Local_exps),
+            rn_non_local=jnp.asarray(Rn_non_local),
+            non_local_coes=jnp.asarray(Non_local_coes),
+            non_local_exps=jnp.asarray(Non_local_exps), natoms=natoms,
+            nelectrons=nelectrons, ndim=ndim, list_l=list_l,
+            complex_output=complex_output)
     total_e = jax.jit(calculate_total_energy(localenergy))
     key, subkey = jax.random.split(key)
     _, (e_init, var_init) = total_e(params, subkey, data)
@@ -107,17 +115,21 @@ def main(atoms,
     esigma = jnp.sqrt(var_init.real)
     logging.info("DMC initial energy %s, sigma %s", e_init, esigma)
 
+    def _maybe(x):
+        return None if x is None else jnp.asarray(x)
+
     dmc_run = jax.jit(dmc_propagate(
         signed_network=signed_network, log_network=None, logabs_f=None,
         list_l=list_l, nelectrons=nelectrons, natoms=natoms, ndim=ndim,
         batch_size=batch_size, tstep=tstep, nsteps=nsteps,
         charges=jnp.asarray(charges), spins=tuple(nspins),
-        Rn_local=jnp.asarray(Rn_local), Local_coes=jnp.asarray(Local_coes),
-        Local_exps=jnp.asarray(Local_exps),
-        Rn_non_local=jnp.asarray(Rn_non_local),
-        Non_local_coes=jnp.asarray(Non_local_coes),
-        Non_local_exps=jnp.asarray(Non_local_exps),
-        complex_output=complex_output, use_tmoves=use_tmoves))
+        Rn_local=_maybe(Rn_local), Local_coes=_maybe(Local_coes),
+        Local_exps=_maybe(Local_exps),
+        Rn_non_local=_maybe(Rn_non_local),
+        Non_local_coes=_maybe(Non_local_coes),
+        Non_local_exps=_maybe(Non_local_exps),
+        complex_output=complex_output,
+        use_tmoves=use_tmoves and Rn_local is not None))
     jit_branch = jax.jit(branch)
 
     weights = jnp.ones((batch_size,))

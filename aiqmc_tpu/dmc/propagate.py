@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from aiqmc_tpu.dmc.drift_diffusion import propose_drift_diffusion
 from aiqmc_tpu.dmc.s_matrix import comput_S
 from aiqmc_tpu.dmc.tmoves import compute_tmoves
+from aiqmc_tpu.hamiltonian import local_energy as ae_local_energy
 from aiqmc_tpu.hamiltonian import pp_local_energy
 from aiqmc_tpu.models.network import AINetData
 
@@ -62,26 +63,35 @@ def dmc_propagate(signed_network,
                   laplacian_chunk: Optional[int] = None,
                   use_tmoves: bool = True):
     """Builds dmc_propagate_run(params, key, data, weights, branchcut, e_trial,
-    e_est) -> (eloc_new, weights, new_data) (ref DMC/dmc.py:72-93)."""
+    e_est) -> (eloc_new, weights, new_data) (ref DMC/dmc.py:72-93).
+
+    Pseudopotential tables may be None, selecting the all-electron Coulomb
+    Hamiltonian (no T-moves needed)."""
     del log_network, logabs_f, nsteps  # API parity with the reference factory
 
+    all_electron = Rn_local is None
     tmove = compute_tmoves(
         list_l=list_l, tstep=tstep, nelectrons=nelectrons, natoms=natoms,
         ndim=ndim, signed_network=signed_network, Rn_non_local=Rn_non_local,
         Non_local_coes=Non_local_coes, Non_local_exps=Non_local_exps) \
-        if use_tmoves else None
+        if (use_tmoves and not all_electron) else None
 
     drift_diffusion = propose_drift_diffusion(
         signed_network=signed_network, tstep=tstep, ndim=ndim,
         nelectrons=nelectrons, batch_size=batch_size)
 
-    localenergy = pp_local_energy.local_energy(
-        f=signed_network, lognetwork=None, charges=charges, nspins=spins,
-        rn_local=Rn_local, local_coes=Local_coes, local_exps=Local_exps,
-        rn_non_local=Rn_non_local, non_local_coes=Non_local_coes,
-        non_local_exps=Non_local_exps, natoms=natoms, nelectrons=nelectrons,
-        ndim=ndim, list_l=list_l, complex_output=complex_output,
-        laplacian_chunk=laplacian_chunk)
+    if all_electron:
+        localenergy = ae_local_energy.local_energy(
+            f=signed_network, charges=charges, nspins=spins,
+            complex_output=complex_output, laplacian_chunk=laplacian_chunk)
+    else:
+        localenergy = pp_local_energy.local_energy(
+            f=signed_network, lognetwork=None, charges=charges, nspins=spins,
+            rn_local=Rn_local, local_coes=Local_coes, local_exps=Local_exps,
+            rn_non_local=Rn_non_local, non_local_coes=Non_local_coes,
+            non_local_exps=Non_local_exps, natoms=natoms, nelectrons=nelectrons,
+            ndim=ndim, list_l=list_l, complex_output=complex_output,
+            laplacian_chunk=laplacian_chunk)
     total_e = calculate_total_energy(localenergy)
 
     def dmc_propagate_run(params,

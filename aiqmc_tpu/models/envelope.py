@@ -37,17 +37,19 @@ def make_pp_like_envelope(per_electron: bool = True, bounded: bool = False):
     """Returns (init, apply) for the flexible-Gaussian envelope.
 
     ``bounded=True`` replaces the reference's anisotropic term
-    exp(-ae * pi) — which GROWS exponentially for negative displacement
-    components and makes |psi|^2 non-normalisable once pi/beta drift under
-    optimisation (walkers then escape to infinity and the envelope underflows
-    to log 0) — by the decaying-everywhere SMOOTH form
-        exp(-softplus(pi) * (sqrt(1 + ae^2) - 1))   (per component),
-    and constrains the Gaussian decay with softplus(beta). The smoothing
-    matters: a |ae|-type kink on the coordinate planes through each nucleus
-    adds positive surface kinetic terms that the log-derivative local energy
-    never samples, so <E_L> can fall BELOW the true <H> (observed as a
-    variational violation on He). sqrt(1+x^2)-1 is smooth, 0 at the nucleus and
-    ~|x| at large distance.
+    sum_d sigma_d exp(-ae_d * pi_d), which is doubly pathological — each
+    exponential GROWS for negative displacements, and even with decaying
+    per-component factors a SUM over components stays O(1) along every
+    coordinate plane (measured: log|psi| flat from r=5 to 50 at init), so
+    |psi|^2 is never normalisable — by the decaying-everywhere SMOOTH form
+
+        sigma_bar * exp(-sum_d softplus(pi_d) * (sqrt(1 + ae_d^2) - 1))
+
+    per atom (component sum inside the exponential), plus softplus(beta) in the
+    Gaussian channel. Smoothness matters too: |x|-type kinks on the coordinate
+    planes add surface kinetic terms invisible to the log-derivative local
+    energy (observed as a variational violation on He); sqrt(1+x^2)-1 is
+    smooth, 0 at the nucleus and ~|x| at large distance.
     """
 
     def init(natom: int, nelectrons: int, ndim: int = 3) -> Mapping[str, jnp.ndarray]:
@@ -63,11 +65,19 @@ def make_pp_like_envelope(per_electron: bool = True, bounded: bool = False):
     def _decay_beta(beta):
         return jax.nn.softplus(beta) if bounded else beta
 
-    def _aniso_exponent(ae, pi):
-        # ae broadcast against pi; exponent per (electron, [orbital,] atom, dim)
+    def _aniso(ae, pi, sigma):
+        """Anisotropic channel, summed over dims and atoms.
+
+        ae: (..., natoms, ndim) broadcastable against pi/sigma of matching
+        shape. Returns (...,) per-atom-summed values.
+        """
         if bounded:
-            return -(jnp.sqrt(1.0 + jnp.square(ae)) - 1.0) * jax.nn.softplus(pi)
-        return -ae * pi
+            exponent = -jnp.sum(
+                (jnp.sqrt(1.0 + jnp.square(ae)) - 1.0) * jax.nn.softplus(pi),
+                axis=-1)  # (..., natoms)
+            weight = jnp.mean(sigma, axis=-1)  # (..., natoms)
+            return jnp.sum(weight * jnp.exp(exponent), axis=-1)
+        return jnp.sum(jnp.exp(-ae * pi) * sigma, axis=(-1, -2))
 
     def apply_per_electron(r_ae: jnp.ndarray, ae: jnp.ndarray, params) -> jnp.ndarray:
         """Returns (nelec,) envelope scalars, one per electron (row scaling).
@@ -77,9 +87,7 @@ def make_pp_like_envelope(per_electron: bool = True, bounded: bool = False):
         r2 = jnp.square(r_ae[..., 0])  # (nelec, natoms)
         gauss = jnp.sum(jnp.exp(-_decay_beta(params["beta"]) * r2),
                         axis=-1) * params["alpha"][:, 0]
-        aniso = jnp.sum(
-            jnp.exp(_aniso_exponent(ae, params["pi"])) * params["sigma"],
-            axis=(-1, -2)) * params["xi"][:, 0]
+        aniso = _aniso(ae, params["pi"], params["sigma"]) * params["xi"][:, 0]
         return gauss + aniso
 
     def apply_per_orbital(r_ae: jnp.ndarray, ae: jnp.ndarray, params) -> jnp.ndarray:
@@ -89,9 +97,8 @@ def make_pp_like_envelope(per_electron: bool = True, bounded: bool = False):
         gauss = jnp.sum(
             jnp.exp(-_decay_beta(params["beta"])[None, :, :] * r2[:, None, :]),
             axis=-1) * params["alpha"][None, :, 0]
-        aniso = jnp.sum(
-            jnp.exp(_aniso_exponent(ae[:, None], params["pi"][None]))
-            * params["sigma"][None], axis=(-1, -2)) * params["xi"][None, :, 0]
+        aniso = _aniso(ae[:, None], params["pi"][None],
+                       params["sigma"][None]) * params["xi"][None, :, 0]
         return gauss + aniso
 
     return init, (apply_per_electron if per_electron else apply_per_orbital)
