@@ -40,12 +40,12 @@ def weights_jacobian(pos: jnp.ndarray, atoms: jnp.ndarray,
     return jnp.abs(jnp.linalg.det(jac))
 
 
-def make_correlated_energy(signed_network, local_energy):
-    """Returns fn(params, key, data, new_atoms) -> (E_new, weights) evaluating
-    the energy at a displaced geometry from reference-geometry samples
-    (ref VMC/VMC_energy_correlated_samples.py:156-189)."""
+def make_correlated_quantities(signed_network, local_energy):
+    """Returns fn(params, key, data, new_atoms) -> (per-walker E_new, raw SWCT
+    weights jac * |psi_new/psi_old|^2), for composition with arbitrary walker
+    weights (VMC uniform or DMC population weights)."""
 
-    def correlated_energy(params, key, data, new_atoms):
+    def correlated_quantities(params, key, data, new_atoms):
         def one_walker(pos, subkey):
             new_pos = correlated_samples(data.atoms, new_atoms, pos)
             jac = weights_jacobian(pos, data.atoms, new_atoms)
@@ -60,7 +60,19 @@ def make_correlated_energy(signed_network, local_energy):
             return e_new, jac * ratio
 
         keys = jax.random.split(key, num=data.positions.shape[0])
-        e_new, w = jax.vmap(one_walker)(data.positions, keys)
+        return jax.vmap(one_walker)(data.positions, keys)
+
+    return correlated_quantities
+
+
+def make_correlated_energy(signed_network, local_energy):
+    """Returns fn(params, key, data, new_atoms) -> (E_new, weights) evaluating
+    the energy at a displaced geometry from reference-geometry samples
+    (ref VMC/VMC_energy_correlated_samples.py:156-189)."""
+    quantities = make_correlated_quantities(signed_network, local_energy)
+
+    def correlated_energy(params, key, data, new_atoms):
+        e_new, w = quantities(params, key, data, new_atoms)
         w = w / jnp.sum(w)
         return jnp.sum(e_new * w), w
 

@@ -76,17 +76,28 @@ class Network:
 def construct_symmetric_features(h_one: jnp.ndarray,
                                  h_two: jnp.ndarray,
                                  spin_up_indices: np.ndarray,
-                                 spin_down_indices: np.ndarray) -> jnp.ndarray:
+                                 spin_down_indices: np.ndarray,
+                                 schnet_params=None) -> jnp.ndarray:
     """Permutation-equivariant features [h_i, g_up, g_down, g2_up_i, g2_down_i].
 
     Ref nn.py:142-153, generalised to gather channel members by the actual spin
     indices instead of a positional split (equal when spins are sorted up-first).
+
+    With ``schnet_params`` the plain two-electron channel means become
+    SchNet-style convolutions sum_j lambda(h_one_j) * gamma(h_two_ij)
+    (ref ferminet/networks.py:560-676 option).
     """
     nelec = h_one.shape[0]
     groups = [idx for idx in (spin_up_indices, spin_down_indices) if len(idx) > 0]
     g_one = [jnp.tile(jnp.mean(h_one[idx], axis=0, keepdims=True), [nelec, 1])
              for idx in groups]
-    g_two = [jnp.mean(h_two[:, idx], axis=1) for idx in groups]
+    if schnet_params is None:
+        g_two = [jnp.mean(h_two[:, idx], axis=1) for idx in groups]
+    else:
+        lam = network_blocks.linear_layer(h_one, schnet_params["lambda_w"])
+        gam = network_blocks.linear_layer(h_two, schnet_params["gamma_w"])
+        conv = gam * lam[None, :, :]  # (i, j, d2)
+        g_two = [jnp.mean(conv[:, idx], axis=1) for idx in groups]
     return jnp.concatenate([h_one] + g_one + g_two, axis=1)
 
 
@@ -99,7 +110,8 @@ def make_ai_net_layers(nspins: Tuple[int, int],
                        spin_up_indices: np.ndarray,
                        spin_down_indices: np.ndarray,
                        full_equivariance: bool = False,
-                       regular_harmonics: bool = False):
+                       regular_harmonics: bool = False,
+                       use_schnet: bool = False):
     """Dual-stream equivariant layers (ref nn.py:196-353).
 
     The h-stream interleaves a grouped-reduce layer with a dense layer and a
@@ -146,6 +158,16 @@ def make_ai_net_layers(nspins: Tuple[int, int],
                 out_dim=dims_one_out, include_bias=True)
             layer_params_y["single_Ynlm"] = network_blocks.init_linear_layer(
                 single_y_key, in_dim=dims_y_in, out_dim=dims_y_out, include_bias=True)
+            if use_schnet:
+                key, lam_key, gam_key = jax.random.split(key, num=3)
+                layer_params["schnet"] = {
+                    "lambda_w": network_blocks.init_linear_layer(
+                        lam_key, dims_one_in, dims_two_in,
+                        include_bias=False)["w"],
+                    "gamma_w": network_blocks.init_linear_layer(
+                        gam_key, dims_two_in, dims_two_in,
+                        include_bias=False)["w"],
+                }
             if i < len(hidden_dims) - 1:
                 layer_params["double"] = network_blocks.init_linear_layer(
                     double_key, in_dim=dims_two_in, out_dim=dims_two_out,
@@ -164,7 +186,8 @@ def make_ai_net_layers(nspins: Tuple[int, int],
 
     def apply_layer(params, h_one, h_two):
         h_one_in = construct_symmetric_features(
-            h_one, h_two[0], spin_up_indices, spin_down_indices)
+            h_one, h_two[0], spin_up_indices, spin_down_indices,
+            schnet_params=params.get("schnet"))
         conv = params["convolutional"]
         w = conv["w"]
         b = conv["b"]
@@ -232,13 +255,19 @@ def make_orbitals(nspins: Tuple[int, int],
                   complex_orbitals: bool = True,
                   bounded_envelope: bool = False,
                   jastrow_scale: Optional[float] = None,
-                  lattice: Optional[jnp.ndarray] = None):
+                  lattice: Optional[jnp.ndarray] = None,
+                  envelope_type: str = "pp_like"):
     """(Complex) orbitals x envelope x Y-orbitals x Jastrows (ref nn.py:356-508)."""
     equivariant_layers_init, equivariant_layers_apply = equivariant_layers
     (jastrow_ee_init, jastrow_ee_apply, jastrow_ae_init, jastrow_ae_apply
      ) = jastrow_lib.get_jastrow(charges, per_electron_ae=not full_equivariance)
-    envelope_init, envelope_apply = envelope_lib.make_pp_like_envelope(
-        per_electron=not full_equivariance, bounded=bounded_envelope)
+    if envelope_type == "pp_like":
+        envelope_init, envelope_apply = envelope_lib.make_pp_like_envelope(
+            per_electron=not full_equivariance, bounded=bounded_envelope)
+    else:
+        from aiqmc_tpu.models import envelopes_zoo
+        envelope_init, envelope_apply = envelopes_zoo.get_envelope(
+            envelopes_zoo.EnvelopeType[envelope_type.upper()])
 
     active_spin_channels = [spin for spin in nspins if spin > 0]
     natoms = charges.shape[0]
@@ -269,10 +298,15 @@ def make_orbitals(nspins: Tuple[int, int],
         params["jastrow_ee"] = jastrow_ee_init(
             n_parallel=n_parallel, n_antiparallel=n_antiparallel)
         params["jastrow_ae"] = jastrow_ae_init(nelectrons=nelectrons, natoms=natoms)
-        params["envelope"] = envelope_init(
-            natom=natoms,
-            nelectrons=(determinants * nelectrons if full_equivariance else nelectrons),
-            ndim=ndim)
+        if envelope_type == "pp_like":
+            params["envelope"] = envelope_init(
+                natom=natoms,
+                nelectrons=(determinants * nelectrons if full_equivariance
+                            else nelectrons),
+                ndim=ndim)
+        else:
+            params["envelope"] = envelope_init(
+                natom=natoms, norb=determinants * nelectrons, ndim=ndim)
         return params
 
     def apply(params, pos, spins, atoms, charges_in) -> Sequence[jnp.ndarray]:
@@ -325,6 +359,8 @@ def make_orbitals(nspins: Tuple[int, int],
         env = envelope_apply(r_ae_sorted, ae_sorted, params["envelope"])
         if env.ndim == 1:  # per-electron scalars -> scale rows of every det
             orbitals = orbitals * env[None, :, None]
+        elif env.shape[-1] == 1:  # row scalars (e.g. null envelope)
+            orbitals = orbitals * env[None, :, 0, None]
         else:  # per-orbital matrix (nelec, ndet * nelec)
             env = jnp.transpose(
                 jnp.reshape(env, (nelectrons, determinants, nelectrons)), (1, 0, 2))
@@ -371,7 +407,9 @@ def make_ai_net(nspins: Tuple[int, int],
                 bounded_envelope: bool = False,
                 jastrow_scale: Optional[float] = None,
                 regular_harmonics: bool = False,
-                lattice: Optional[jnp.ndarray] = None) -> Network:
+                lattice: Optional[jnp.ndarray] = None,
+                envelope_type: str = "pp_like",
+                use_schnet: bool = False) -> Network:
     """Builds the AI-Net (ref nn.py:511-553). See module docstring for options.
 
     ``lattice`` (rows = primitive vectors) switches to the periodic ansatz:
@@ -396,7 +434,8 @@ def make_ai_net(nspins: Tuple[int, int],
         nspins, nelectrons, natoms, tuple(hidden_dims), tuple(hidden_dims_Ynlm),
         feature_layer, spin_up_indices, spin_down_indices,
         full_equivariance=full_equivariance,
-        regular_harmonics=regular_harmonics)
+        regular_harmonics=regular_harmonics,
+        use_schnet=use_schnet)
     orbitals_init, orbitals_apply = make_orbitals(
         nspins=nspins, nelectrons=nelectrons, charges=charges,
         parallel_indices=parallel_indices, antiparallel_indices=antiparallel_indices,
@@ -406,7 +445,7 @@ def make_ai_net(nspins: Tuple[int, int],
         determinants=determinants, bias_orbitals=bias_orbitals,
         full_equivariance=full_equivariance, complex_orbitals=complex_orbitals,
         bounded_envelope=bounded_envelope, jastrow_scale=jastrow_scale,
-        lattice=lattice)
+        lattice=lattice, envelope_type=envelope_type)
 
     def init(key: chex.PRNGKey) -> ParamTree:
         _, subkey = jax.random.split(key)

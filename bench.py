@@ -58,8 +58,10 @@ def build_step(batch):
                                     batch_size=batch, init_width=1.0)
     data = nn.AINetData(positions=pos, spins=spins_out, atoms=atoms,
                         charges=charges)
-    _, _, optimizer, combined_step = make_training_components(cfg, network, batch)
-    opt_state = optimizer.init(params)
+    components = make_training_components(
+        cfg, network, batch, params_template=params, data_template=data)
+    combined_step = components.combined_step
+    opt_state = components.init(params)
 
     data = nn.AINetData(
         positions=mesh_lib.shard_walkers(data.positions, mesh),

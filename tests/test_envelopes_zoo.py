@@ -1,0 +1,69 @@
+"""Envelope zoo tests (pattern: ref ferminet/tests/envelopes_test.py:36-75)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aiqmc_tpu.models import envelopes_zoo as zoo
+from aiqmc_tpu.models import network as nn, spin_indices
+
+NELEC, NATOMS, NORB = 3, 2, 3
+
+
+@pytest.mark.parametrize("env_type", [
+    zoo.EnvelopeType.ISOTROPIC, zoo.EnvelopeType.DIAGONAL,
+    zoo.EnvelopeType.FULL, zoo.EnvelopeType.STO, zoo.EnvelopeType.STO_POLY,
+])
+def test_envelope_shapes_and_decay(env_type):
+    init, apply = zoo.get_envelope(env_type)
+    params = init(natom=NATOMS, norb=NORB)
+    rng = np.random.RandomState(0)
+    ae = jnp.asarray(rng.normal(size=(NELEC, NATOMS, 3)))
+    r_ae = jnp.linalg.norm(ae, axis=-1, keepdims=True)
+    out = apply(r_ae, ae, params)
+    assert out.shape == (NELEC, NORB)
+    # decay: scaling displacements up must shrink the envelope
+    out_far = apply(r_ae * 10.0, ae * 10.0, params)
+    assert np.all(np.asarray(out_far) < np.asarray(out))
+
+
+def test_full_envelope_rotation_covariance_at_identity():
+    """At identity covariance the full envelope equals the isotropic one."""
+    init_f, apply_f = zoo.get_envelope(zoo.EnvelopeType.FULL)
+    init_i, apply_i = zoo.get_envelope(zoo.EnvelopeType.ISOTROPIC)
+    pf = init_f(natom=1, norb=2)
+    pi = init_i(natom=1, norb=2)
+    rng = np.random.RandomState(1)
+    ae = jnp.asarray(rng.normal(size=(2, 1, 3)))
+    r_ae = jnp.linalg.norm(ae, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(apply_f(r_ae, ae, pf)),
+                               np.asarray(apply_i(r_ae, ae, pi)), rtol=1e-4)
+
+
+@pytest.mark.parametrize("env_type", ["isotropic", "sto_poly", "null"])
+def test_network_with_zoo_envelope(env_type):
+    nelec = 4
+    spins = np.array([1.0, 1.0, -1.0, -1.0])
+    atoms = jnp.zeros((1, 3))
+    charges = jnp.asarray([4.0])
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelec)
+    up, down = spin_indices.spin_indices_h(spins)
+    net = nn.make_ai_net(
+        nspins=(2, 2), charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=1,
+        nelectrons=nelec, full_equivariance=True, complex_orbitals=False,
+        determinants=2, envelope_type=env_type,
+        hidden_dims=((8, 4), (8, 4)), hidden_dims_Ynlm=(4, 4))
+    params = net.init(jax.random.PRNGKey(0))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (12,))
+    _, log1 = net.apply(params, pos, jnp.asarray(spins), atoms, charges)
+    assert np.isfinite(float(log1))
+    # antisymmetry preserved with per-orbital envelopes
+    x = pos.reshape(4, 3)
+    x2 = x.at[jnp.array([0, 1])].set(x[jnp.array([1, 0])]).reshape(-1)
+    phase1, _ = net.apply(params, pos, jnp.asarray(spins), atoms, charges)
+    phase2, log2 = net.apply(params, x2, jnp.asarray(spins), atoms, charges)
+    np.testing.assert_allclose(float(log2), float(log1), rtol=1e-5)
+    np.testing.assert_allclose(float(phase2), -float(phase1), atol=1e-6)
