@@ -55,6 +55,17 @@ def default() -> ml_collections.ConfigDict:
             "full_equivariance": True,  # exactly antisymmetric variant
             "bounded_envelope": True,   # decaying-everywhere envelope (see models.envelope)
             "regular_harmonics": True,  # smooth solid harmonics (see models.harmonics)
+            "envelope_type": "pp_like", # pp_like | isotropic | diagonal | full | sto | sto_poly | null
+            "use_schnet": False,        # SchNet-style two-electron convolutions
+            "jastrow_scale": None,      # None = exact cusps; 1/nelec = reference
+            "network_type": "ainet",    # ainet | psiformer
+            "psiformer": {
+                "num_layers": 2,
+                "num_heads": 4,
+                "heads_dim": 16,
+                "mlp_hidden_dims": (64,),
+                "use_layer_norm": True,
+            },
         },
         "mcmc": {
             "algorithm": "drift_diffusion",  # drift_diffusion | random_walk

@@ -60,6 +60,25 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
     nelectrons = int(spins.size)
     par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelectrons)
     up, down = spin_indices.spin_indices_h(spins)
+    if cfg.network.get("network_type", "ainet") == "psiformer":
+        from aiqmc_tpu.models import psiformer
+        pf = cfg.network.psiformer
+        network = psiformer.make_psiformer(
+            nspins=tuple(cfg.system.nspins),
+            charges=jnp.asarray(cfg.system.charges),
+            parallel_indices=par, antiparallel_indices=anti,
+            spin_up_indices=up, spin_down_indices=down,
+            n_parallel=n_par, n_antiparallel=n_anti,
+            ndim=cfg.system.ndim,
+            natoms=int(np.asarray(cfg.system.atoms).shape[0]),
+            nelectrons=nelectrons,
+            determinants=cfg.network.determinants,
+            num_layers=pf.num_layers, num_heads=pf.num_heads,
+            heads_dim=pf.heads_dim,
+            mlp_hidden_dims=tuple(pf.mlp_hidden_dims),
+            use_layer_norm=pf.use_layer_norm,
+            rescale_inputs=cfg.network.rescale_inputs)
+        return network, (up, down)
     network = nn.make_ai_net(
         nspins=tuple(cfg.system.nspins),
         charges=jnp.asarray(cfg.system.charges),
@@ -82,7 +101,10 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         bounded_envelope=cfg.network.bounded_envelope,
         regular_harmonics=cfg.network.regular_harmonics,
         lattice=(jnp.asarray(cfg.system.structure)
-                 if cfg.system.get("pbc", False) else None))
+                 if cfg.system.get("pbc", False) else None),
+        envelope_type=cfg.network.get("envelope_type", "pp_like"),
+        use_schnet=cfg.network.get("use_schnet", False),
+        jastrow_scale=cfg.network.get("jastrow_scale", None))
     return network, (up, down)
 
 
