@@ -3,10 +3,8 @@ reference's H2 and C2 examples, ref example/C2_muti_GPU/C2test.py)."""
 
 from __future__ import annotations
 
-import numpy as np
-
 from aiqmc_tpu import config as config_lib
-from aiqmc_tpu.utils import elements, system
+from aiqmc_tpu.utils import system
 
 
 def get_config(symbol1: str = "H", symbol2: str = "H",

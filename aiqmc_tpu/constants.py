@@ -14,7 +14,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 PMAP_AXIS_NAME = "qmc_pmap_axis"
 DATA_AXIS_NAME = "data"

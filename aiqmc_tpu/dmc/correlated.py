@@ -12,7 +12,6 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from aiqmc_tpu import corrsamples
 from aiqmc_tpu.models.network import AINetData

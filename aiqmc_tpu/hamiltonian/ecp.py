@@ -30,7 +30,7 @@ Physics corrections vs the reference (both opt-out via ``reference_compat``):
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import chex
 import jax

@@ -36,7 +36,7 @@ Deviations from the reference (documented, all opt-in/out):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Iterable, Mapping, MutableMapping, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Iterable, MutableMapping, Optional, Sequence, Tuple, Union
 
 import chex
 import jax

@@ -13,7 +13,7 @@ be sized in multiples of 8/128 for large systems. Everything is real-valued
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import chex
 import jax

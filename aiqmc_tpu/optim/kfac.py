@@ -33,7 +33,7 @@ kfac_jax's pmap axis plumbing (ref ferminet/train.py:773).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Tuple
 
 import chex
 import jax

@@ -11,7 +11,7 @@ exists — can be passed instead.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import chex
 import jax

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from aiqmc_tpu.models.network import AINetData
-from aiqmc_tpu.utils.utils import select_output
 
 
 def mh_update(logprob_fn, x1, lp1, key, width) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -18,11 +18,9 @@ TPU-first:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Optional, Tuple
 
-import chex
 import jax
 import jax.numpy as jnp
 import ml_collections

@@ -8,14 +8,13 @@ samples with Jacobian x |psi_new/psi_old|^2 weights.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from absl import logging
 
-from aiqmc_tpu import checkpoint as checkpoint_lib
 from aiqmc_tpu import corrsamples
 from aiqmc_tpu.models.network import AINetData
 
