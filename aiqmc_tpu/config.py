@@ -30,13 +30,15 @@ def default() -> ml_collections.ConfigDict:
                 "decay": 1.0,
             },
             "adam": {"b1": 0.9, "b2": 0.999, "eps": 1e-8, "eps_root": 0.0},
+            # Sweep on He (tests/../kfac sweep): momentum 0.9 + lr 0.02 tracks
+            # Adam's convergence; damping 1e-3 with pi-splitting.
             "kfac": {
                 "damping": 1e-3,
                 "cov_ema_decay": 0.95,
                 "norm_constraint": 1e-3,
                 "min_damping": 1e-4,
-                "lr": {"rate": 0.05, "delay": 10000.0},
-                "momentum": 0.0,
+                "lr": {"rate": 0.02, "delay": 10000.0},
+                "momentum": 0.9,
                 "update_period": 1,
             },
             "clip_local_energy": 5.0,

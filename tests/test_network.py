@@ -106,6 +106,25 @@ def test_interleaved_spins_match_sorted():
     np.testing.assert_allclose(float(log_s), float(log_i), rtol=1e-5)
 
 
+@pytest.mark.parametrize("spins", [
+    np.array([1.0, 1.0, 1.0, -1.0]),   # polarised (3, 1)
+    np.array([1.0, 1.0, -1.0]),        # odd electron count (2, 1)
+])
+def test_spin_polarised_channels(spins):
+    nel = len(spins)
+    net, atoms, charges, spins_j = _build(nelectrons=nel, spins=spins)
+    params = net.init(jax.random.PRNGKey(0))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (nel * 3,))
+    phase1, log1 = net.apply(params, pos, spins_j, atoms, charges)
+    assert np.isfinite(float(log1))
+    # swap the first two (same-spin up) electrons
+    x = pos.reshape(nel, 3)
+    x2 = x.at[jnp.array([0, 1])].set(x[jnp.array([1, 0])]).reshape(-1)
+    phase2, log2 = net.apply(params, x2, spins_j, atoms, charges)
+    np.testing.assert_allclose(float(log2), float(log1), rtol=1e-4)
+    np.testing.assert_allclose(float(phase2), -float(phase1), atol=1e-6)
+
+
 def test_logdet_matmul_matches_direct():
     key = jax.random.PRNGKey(0)
     mats = jax.random.normal(key, (3, 5, 5)) / np.sqrt(5)
