@@ -136,24 +136,45 @@ def make_pretrain_step(network_orbitals,
     return step
 
 
+def make_rhf_targets(atoms, charges, nspins: Tuple[int, int]) -> TargetOrbitals:
+    """Hartree-Fock pretraining targets from the built-in STO-3G RHF solver
+    (utils/scf.py; the reference uses pyscf for this, ferminet/pretrain.py:34)."""
+    from aiqmc_tpu.utils import scf as scf_lib
+    nelectrons = sum(nspins)
+    # RHF needs an even count; run on the nearest closed shell and take the
+    # lowest n_up / n_dn orbitals for open shells.
+    n_rhf = nelectrons if nelectrons % 2 == 0 else nelectrons + 1
+    result = scf_lib.run_rhf(np.asarray(atoms), np.asarray(charges),
+                             nelectrons=n_rhf)
+    return scf_lib.make_rhf_orbitals(result, nspins)
+
+
 def pretrain_orbitals(network,
                       data: AINetData,
                       nspins: Tuple[int, int],
                       iterations: int = 100,
                       learning_rate: float = 3e-4,
                       target_fn: Optional[TargetOrbitals] = None,
+                      target: str = "rhf",
                       key: Optional[chex.PRNGKey] = None,
                       params=None):
     """Pretrains network orbitals (ref pretrain.py:230-311). Returns
-    (params, data)."""
+    (params, data). target: 'rhf' (STO-3G HF, default) or 'hydrogenic'."""
     if key is None:
         key = jax.random.PRNGKey(0)
     if params is None:
         key, subkey = jax.random.split(key)
         params = network.init(subkey)
     if target_fn is None:
-        target_fn = make_hydrogenic_orbitals(
-            np.asarray(data.atoms), np.asarray(data.charges), nspins)
+        if target == "rhf":
+            try:
+                target_fn = make_rhf_targets(
+                    np.asarray(data.atoms), np.asarray(data.charges), nspins)
+            except ValueError:
+                target_fn = None
+        if target_fn is None:
+            target_fn = make_hydrogenic_orbitals(
+                np.asarray(data.atoms), np.asarray(data.charges), nspins)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
     batch_network = jax.vmap(

@@ -1,0 +1,357 @@
+"""Gaussian-type-orbital basis evaluation and molecular integrals (pure NumPy/JAX).
+
+Capability parity with ref ``ferminet/utils/gto.py`` (pure-JAX GTO evaluation
+for pretraining) and the integral backend the reference gets from pyscf
+(``ferminet/pretrain.py:34-61``). pyscf is not available in this environment,
+so overlap / kinetic / nuclear-attraction / electron-repulsion integrals are
+implemented with the McMurchie-Davidson Hermite-Gaussian scheme (valid for any
+angular momentum; STO-3G needs s and p) and the Boys function.
+
+The embedded STO-3G parameters (H-Ne) are the standard published values
+(Hehre, Stewart & Pople 1969 scaling; EMSL Basis Set Exchange data).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import gammainc, gamma
+
+# ---------------------------------------------------------------------------
+# STO-3G basis data: {Z: [(shell, [(exponent, coefficient), ...]), ...]}
+# Exponents/contractions from the Basis Set Exchange STO-3G definitions.
+# ---------------------------------------------------------------------------
+
+STO3G = {
+    1: [("s", [(3.42525091, 0.15432897), (0.62391373, 0.53532814),
+               (0.16885540, 0.44463454)])],
+    2: [("s", [(6.36242139, 0.15432897), (1.15892300, 0.53532814),
+               (0.31364979, 0.44463454)])],
+    3: [("s", [(16.1195750, 0.15432897), (2.93620070, 0.53532814),
+               (0.79465050, 0.44463454)]),
+        ("s", [(0.63628970, -0.09996723), (0.14786010, 0.39951283),
+               (0.04808870, 0.70011547)]),
+        ("p", [(0.63628970, 0.15591627), (0.14786010, 0.60768372),
+               (0.04808870, 0.39195739)])],
+    4: [("s", [(30.1678710, 0.15432897), (5.49511530, 0.53532814),
+               (1.48719270, 0.44463454)]),
+        ("s", [(1.31483310, -0.09996723), (0.30553890, 0.39951283),
+               (0.09937070, 0.70011547)]),
+        ("p", [(1.31483310, 0.15591627), (0.30553890, 0.60768372),
+               (0.09937070, 0.39195739)])],
+    5: [("s", [(48.7911130, 0.15432897), (8.88736220, 0.53532814),
+               (2.40526700, 0.44463454)]),
+        ("s", [(2.23695610, -0.09996723), (0.51982050, 0.39951283),
+               (0.16906180, 0.70011547)]),
+        ("p", [(2.23695610, 0.15591627), (0.51982050, 0.60768372),
+               (0.16906180, 0.39195739)])],
+    6: [("s", [(71.6168370, 0.15432897), (13.0450960, 0.53532814),
+               (3.53051220, 0.44463454)]),
+        ("s", [(2.94124940, -0.09996723), (0.68348310, 0.39951283),
+               (0.22228990, 0.70011547)]),
+        ("p", [(2.94124940, 0.15591627), (0.68348310, 0.60768372),
+               (0.22228990, 0.39195739)])],
+    7: [("s", [(99.1061690, 0.15432897), (18.0523120, 0.53532814),
+               (4.88566020, 0.44463454)]),
+        ("s", [(3.78045590, -0.09996723), (0.87849660, 0.39951283),
+               (0.28571440, 0.70011547)]),
+        ("p", [(3.78045590, 0.15591627), (0.87849660, 0.60768372),
+               (0.28571440, 0.39195739)])],
+    8: [("s", [(130.709320, 0.15432897), (23.8088610, 0.53532814),
+               (6.44360830, 0.44463454)]),
+        ("s", [(5.03315130, -0.09996723), (1.16959610, 0.39951283),
+               (0.38038900, 0.70011547)]),
+        ("p", [(5.03315130, 0.15591627), (1.16959610, 0.60768372),
+               (0.38038900, 0.39195739)])],
+    9: [("s", [(166.679130, 0.15432897), (30.3608120, 0.53532814),
+               (8.21682070, 0.44463454)]),
+        ("s", [(6.46480320, -0.09996723), (1.50228120, 0.39951283),
+               (0.48858850, 0.70011547)]),
+        ("p", [(6.46480320, 0.15591627), (1.50228120, 0.60768372),
+               (0.48858850, 0.39195739)])],
+    10: [("s", [(207.015610, 0.15432897), (37.7081510, 0.53532814),
+                (10.2052970, 0.44463454)]),
+         ("s", [(8.24631510, -0.09996723), (1.91626620, 0.39951283),
+                (0.62322930, 0.70011547)]),
+         ("p", [(8.24631510, 0.15591627), (1.91626620, 0.60768372),
+                (0.62322930, 0.39195739)])],
+}
+
+_SHELL_LMN = {
+    "s": [(0, 0, 0)],
+    "p": [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
+}
+
+
+@dataclasses.dataclass
+class Primitive:
+    """One contracted Cartesian GTO basis function."""
+    center: np.ndarray        # (3,)
+    lmn: Tuple[int, int, int]
+    exps: np.ndarray          # (nprim,)
+    coefs: np.ndarray         # (nprim,) contraction coefficients x norms
+
+
+def _prim_norm(alpha: float, lmn) -> float:
+    l, m, n = lmn
+    from math import factorial
+    num = (2 * alpha / np.pi) ** 0.75 * (4 * alpha) ** ((l + m + n) / 2)
+    df = lambda k: 1.0 if k < 1 else float(np.prod(np.arange(2 * k - 1, 0, -2)))
+    return num / np.sqrt(df(l) * df(m) * df(n))
+
+
+def build_basis(atoms: np.ndarray, charges: np.ndarray) -> List[Primitive]:
+    """Builds the STO-3G basis for a molecule (atoms in bohr)."""
+    basis: List[Primitive] = []
+    for center, z in zip(np.asarray(atoms, dtype=float), charges):
+        z = int(round(float(z)))
+        if z not in STO3G:
+            raise ValueError(f"No embedded STO-3G data for Z={z}")
+        for shell, prims in STO3G[z]:
+            exps = np.array([a for a, _ in prims])
+            coefs = np.array([c for _, c in prims])
+            for lmn in _SHELL_LMN[shell]:
+                norms = np.array([_prim_norm(a, lmn) for a in exps])
+                cn = coefs * norms
+                # normalise the contracted function
+                basis.append(Primitive(center=np.asarray(center), lmn=lmn,
+                                       exps=exps, coefs=cn))
+    # contraction self-overlap normalisation
+    for b in basis:
+        s = 0.0
+        for ai, ci in zip(b.exps, b.coefs):
+            for aj, cj in zip(b.exps, b.coefs):
+                s += ci * cj * _overlap_prim(ai, b.lmn, b.center,
+                                             aj, b.lmn, b.center)
+        b.coefs = b.coefs / np.sqrt(s)
+    return basis
+
+
+# ---------------------------------------------------------------------------
+# McMurchie-Davidson machinery.
+# ---------------------------------------------------------------------------
+
+def _E(i, j, t, Qx, a, b):
+    """Hermite expansion coefficient for one Cartesian direction."""
+    p = a + b
+    q = a * b / p
+    if t < 0 or t > i + j:
+        return 0.0
+    if i == j == t == 0:
+        return np.exp(-q * Qx * Qx)
+    if j == 0:
+        return (1 / (2 * p) * _E(i - 1, j, t - 1, Qx, a, b)
+                - q * Qx / a * _E(i - 1, j, t, Qx, a, b)
+                + (t + 1) * _E(i - 1, j, t + 1, Qx, a, b))
+    return (1 / (2 * p) * _E(i, j - 1, t - 1, Qx, a, b)
+            + q * Qx / b * _E(i, j - 1, t, Qx, a, b)
+            + (t + 1) * _E(i, j - 1, t + 1, Qx, a, b))
+
+
+def _overlap_prim(a, lmn1, A, b, lmn2, B):
+    l1, m1, n1 = lmn1
+    l2, m2, n2 = lmn2
+    p = a + b
+    pre = (np.pi / p) ** 1.5
+    return pre * (_E(l1, l2, 0, A[0] - B[0], a, b)
+                  * _E(m1, m2, 0, A[1] - B[1], a, b)
+                  * _E(n1, n2, 0, A[2] - B[2], a, b))
+
+
+def _kinetic_prim(a, lmn1, A, b, lmn2, B):
+    l2, m2, n2 = lmn2
+    term0 = b * (2 * (l2 + m2 + n2) + 3) * _overlap_prim(a, lmn1, A, b, lmn2, B)
+    term1 = -2 * b ** 2 * (
+        _overlap_prim(a, lmn1, A, b, (l2 + 2, m2, n2), B)
+        + _overlap_prim(a, lmn1, A, b, (l2, m2 + 2, n2), B)
+        + _overlap_prim(a, lmn1, A, b, (l2, m2, n2 + 2), B))
+    term2 = -0.5 * (l2 * (l2 - 1) * _overlap_prim(a, lmn1, A, b, (l2 - 2, m2, n2), B)
+                    + m2 * (m2 - 1) * _overlap_prim(a, lmn1, A, b, (l2, m2 - 2, n2), B)
+                    + n2 * (n2 - 1) * _overlap_prim(a, lmn1, A, b, (l2, m2, n2 - 2), B))
+    return term0 + term1 + term2
+
+
+def _boys(n, x):
+    if x < 1e-12:
+        return 1.0 / (2 * n + 1)
+    return gammainc(n + 0.5, x) * gamma(n + 0.5) / (2 * x ** (n + 0.5))
+
+
+def _R(t, u, v, n, p, PCx, PCy, PCz, RPC):
+    """Hermite Coulomb integral (recursive)."""
+    if t == u == v == 0:
+        return (-2 * p) ** n * _boys(n, p * RPC * RPC)
+    if t > 0:
+        val = 0.0
+        if t > 1:
+            val += (t - 1) * _R(t - 2, u, v, n + 1, p, PCx, PCy, PCz, RPC)
+        val += PCx * _R(t - 1, u, v, n + 1, p, PCx, PCy, PCz, RPC)
+        return val
+    if u > 0:
+        val = 0.0
+        if u > 1:
+            val += (u - 1) * _R(t, u - 2, v, n + 1, p, PCx, PCy, PCz, RPC)
+        val += PCy * _R(t, u - 1, v, n + 1, p, PCx, PCy, PCz, RPC)
+        return val
+    val = 0.0
+    if v > 1:
+        val += (v - 1) * _R(t, u, v - 2, n + 1, p, PCx, PCy, PCz, RPC)
+    val += PCz * _R(t, u, v - 1, n + 1, p, PCx, PCy, PCz, RPC)
+    return val
+
+
+def _nuclear_prim(a, lmn1, A, b, lmn2, B, C):
+    l1, m1, n1 = lmn1
+    l2, m2, n2 = lmn2
+    p = a + b
+    P = (a * np.asarray(A) + b * np.asarray(B)) / p
+    PC = P - np.asarray(C)
+    RPC = np.linalg.norm(PC)
+    val = 0.0
+    for t in range(l1 + l2 + 1):
+        Et = _E(l1, l2, t, A[0] - B[0], a, b)
+        if Et == 0.0:
+            continue
+        for u in range(m1 + m2 + 1):
+            Eu = _E(m1, m2, u, A[1] - B[1], a, b)
+            if Eu == 0.0:
+                continue
+            for v in range(n1 + n2 + 1):
+                Ev = _E(n1, n2, v, A[2] - B[2], a, b)
+                if Ev == 0.0:
+                    continue
+                val += Et * Eu * Ev * _R(t, u, v, 0, p, *PC, RPC)
+    return 2 * np.pi / p * val
+
+
+def _eri_prim(a, lmn1, A, b, lmn2, B, c, lmn3, C, d, lmn4, D):
+    l1, m1, n1 = lmn1
+    l2, m2, n2 = lmn2
+    l3, m3, n3 = lmn3
+    l4, m4, n4 = lmn4
+    p = a + b
+    q = c + d
+    alpha = p * q / (p + q)
+    P = (a * np.asarray(A) + b * np.asarray(B)) / p
+    Q = (c * np.asarray(C) + d * np.asarray(D)) / q
+    PQ = P - Q
+    RPQ = np.linalg.norm(PQ)
+    val = 0.0
+    for t in range(l1 + l2 + 1):
+        Et = _E(l1, l2, t, A[0] - B[0], a, b)
+        if Et == 0.0:
+            continue
+        for u in range(m1 + m2 + 1):
+            Eu = _E(m1, m2, u, A[1] - B[1], a, b)
+            if Eu == 0.0:
+                continue
+            for v in range(n1 + n2 + 1):
+                Ev = _E(n1, n2, v, A[2] - B[2], a, b)
+                if Ev == 0.0:
+                    continue
+                for tau in range(l3 + l4 + 1):
+                    Et2 = _E(l3, l4, tau, C[0] - D[0], c, d)
+                    if Et2 == 0.0:
+                        continue
+                    for nu in range(m3 + m4 + 1):
+                        Eu2 = _E(m3, m4, nu, C[1] - D[1], c, d)
+                        if Eu2 == 0.0:
+                            continue
+                        for phi in range(n3 + n4 + 1):
+                            Ev2 = _E(n3, n4, phi, C[2] - D[2], c, d)
+                            if Ev2 == 0.0:
+                                continue
+                            val += (Et * Eu * Ev * Et2 * Eu2 * Ev2
+                                    * (-1) ** (tau + nu + phi)
+                                    * _R(t + tau, u + nu, v + phi, 0,
+                                         alpha, *PQ, RPQ))
+    return val * 2 * np.pi ** 2.5 / (p * q * np.sqrt(p + q))
+
+
+def _contracted(fn, bi: Primitive, bj: Primitive, *extra):
+    val = 0.0
+    for ai, ci in zip(bi.exps, bi.coefs):
+        for aj, cj in zip(bj.exps, bj.coefs):
+            val += ci * cj * fn(ai, bi.lmn, bi.center, aj, bj.lmn, bj.center,
+                                *extra)
+    return val
+
+
+def overlap_matrix(basis: Sequence[Primitive]) -> np.ndarray:
+    n = len(basis)
+    S = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1):
+            S[i, j] = S[j, i] = _contracted(_overlap_prim, basis[i], basis[j])
+    return S
+
+
+def kinetic_matrix(basis: Sequence[Primitive]) -> np.ndarray:
+    n = len(basis)
+    T = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            T[i, j] = _contracted(_kinetic_prim, basis[i], basis[j])
+    return 0.5 * (T + T.T)
+
+
+def nuclear_matrix(basis: Sequence[Primitive], atoms: np.ndarray,
+                   charges: np.ndarray) -> np.ndarray:
+    n = len(basis)
+    V = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1):
+            val = 0.0
+            for C, Z in zip(np.asarray(atoms, dtype=float), charges):
+                val -= Z * _contracted(_nuclear_prim, basis[i], basis[j], C)
+            V[i, j] = V[j, i] = val
+    return V
+
+
+def eri_tensor(basis: Sequence[Primitive]) -> np.ndarray:
+    """Full (ij|kl) tensor with 8-fold symmetry (fine for STO-3G molecules)."""
+    n = len(basis)
+    eri = np.zeros((n, n, n, n))
+    for i in range(n):
+        for j in range(i + 1):
+            for k in range(n):
+                for l in range(k + 1):
+                    if (i * (i + 1) // 2 + j) < (k * (k + 1) // 2 + l):
+                        continue
+                    bi, bj, bk, bl = basis[i], basis[j], basis[k], basis[l]
+                    val = 0.0
+                    for ai, ci in zip(bi.exps, bi.coefs):
+                        for aj, cj in zip(bj.exps, bj.coefs):
+                            for ak, ck in zip(bk.exps, bk.coefs):
+                                for al, cl in zip(bl.exps, bl.coefs):
+                                    val += ci * cj * ck * cl * _eri_prim(
+                                        ai, bi.lmn, bi.center,
+                                        aj, bj.lmn, bj.center,
+                                        ak, bk.lmn, bk.center,
+                                        al, bl.lmn, bl.center)
+                    for (x, y) in ((i, j), (j, i)):
+                        for (z, w) in ((k, l), (l, k)):
+                            eri[x, y, z, w] = val
+                            eri[z, w, x, y] = val
+    return eri
+
+
+def eval_basis(basis: Sequence[Primitive], r: jnp.ndarray) -> jnp.ndarray:
+    """Evaluates all basis functions at points r (..., 3) -> (..., nbasis).
+
+    Pure jnp, differentiable — suitable as a pretraining target.
+    """
+    outs = []
+    for b in basis:
+        d = r - jnp.asarray(b.center)
+        l, m, n = b.lmn
+        poly = d[..., 0] ** l * d[..., 1] ** m * d[..., 2] ** n
+        r2 = jnp.sum(d * d, axis=-1)
+        rad = jnp.zeros_like(r2)
+        for a, c in zip(b.exps, b.coefs):
+            rad = rad + c * jnp.exp(-a * r2)
+        outs.append(poly * rad)
+    return jnp.stack(outs, axis=-1)
