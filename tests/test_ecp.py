@@ -129,3 +129,57 @@ def test_reference_compat_scaling():
     e_ref = float(nl_ref(None, jax.random.PRNGKey(0), data))
     # reference mode: extra r^2 in v_l and 1/(4 pi) in P_l.
     np.testing.assert_allclose(e_ref, e_std * r ** 2 / (4 * np.pi), rtol=1e-4)
+
+
+def test_full_pp_local_energy_vs_quadrature():
+    """End-to-end ECP Hamiltonian oracle: for the s-product trial
+    psi = prod_i exp(-alpha r_i) on the C ccECP atom, <E_L> over |psi|^2 must
+    match the exact 1-D quadrature (all four energy channels at once)."""
+    import jax
+    from aiqmc_tpu.hamiltonian import pp_local_energy
+    from aiqmc_tpu.sampling import drift_diffusion
+
+    alpha, nel, batch = 1.2, 4, 512
+
+    def psi(params, pos, spins, atoms, charges):
+        r = jnp.linalg.norm(jnp.reshape(pos, (-1, 3)) - atoms[0], axis=-1)
+        return jnp.ones(()), -alpha * jnp.sum(r)
+
+    el = pp_local_energy.local_energy(
+        f=psi, lognetwork=None, charges=jnp.array([4.0]), nspins=(2, 2),
+        rn_local=jnp.asarray(C_RN_LOCAL), local_coes=jnp.asarray(C_LOCAL_COES),
+        local_exps=jnp.asarray(C_LOCAL_EXPS),
+        rn_non_local=jnp.asarray(C_RN_NON_LOCAL),
+        non_local_coes=jnp.asarray(C_NON_LOCAL_COES),
+        non_local_exps=jnp.asarray(C_NON_LOCAL_EXPS),
+        natoms=1, nelectrons=nel, ndim=3, list_l=2)
+
+    key = jax.random.PRNGKey(0)
+    data = AINetData(positions=jax.random.normal(key, (batch, nel * 3)),
+                     spins=jnp.array([1., -1., 1., -1.]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([4.0]))
+    mc = jax.jit(drift_diffusion.main_monte_carlo(
+        psi, tstep=0.3, ndim=3, nelectrons=nel, nsteps=20, batch_size=batch))
+    for _ in range(20):
+        key, sk = jax.random.split(key)
+        data, _ = mc(None, data, sk)
+    batch_el = jax.jit(jax.vmap(el, in_axes=(
+        None, 0, AINetData(positions=0, spins=None, atoms=None, charges=None))))
+    es = []
+    for _ in range(10):
+        key, sk = jax.random.split(key)
+        data, _ = mc(None, data, sk)
+        e, _ = batch_el(None, jax.random.split(key, batch), data)
+        es.append(np.asarray(e))
+    got = np.concatenate(es).mean()
+
+    r = np.linspace(1e-6, 25, 200001)
+    rho = r ** 2 * np.exp(-2 * alpha * r)
+    rho /= np.trapezoid(rho, r)
+    vloc = (-4 / r + 4.0 / r * np.exp(-14.43502 * r ** 2)
+            + 57.74008 * r * np.exp(-8.39889 * r ** 2)
+            - 25.81955 * np.exp(-7.38188 * r ** 2))
+    v0 = 52.13345 * np.exp(-7.76079 * r ** 2)
+    want = (4 * (alpha ** 2 / 2) + 4 * np.trapezoid(vloc * rho, r)
+            + 4 * np.trapezoid(v0 * rho, r) + 6 * 5 * alpha / 8)
+    np.testing.assert_allclose(got, want, atol=0.7)  # MC stderr ~ 0.3
