@@ -106,3 +106,48 @@ def test_dmc_end_to_end(tmp_path):
     assert energies.shape == (2,)
     assert np.all(np.isfinite(energies))
     assert np.all(np.isfinite(np.asarray(weights)))
+
+
+def test_dmc_projects_hydrogen_to_exact():
+    """DMC from a deliberately wrong hydrogen trial (alpha=0.8, VMC -0.48 Ha)
+    must project the mixed estimator to the exact -0.5 Ha (nodeless system;
+    remaining deviation is the finite-time-step bias)."""
+    from aiqmc_tpu.dmc.propagate import dmc_propagate, calculate_total_energy
+    from aiqmc_tpu.hamiltonian import local_energy as ae
+
+    alpha = 0.8
+
+    def psi(params, pos, spins, atoms, charges):
+        return jnp.ones(()), -alpha * jnp.linalg.norm(pos)
+
+    batch, tstep = 512, 0.03
+    run = jax.jit(dmc_propagate(
+        signed_network=psi, log_network=None, logabs_f=None, list_l=0,
+        nelectrons=1, natoms=1, ndim=3, batch_size=batch, tstep=tstep,
+        nsteps=1, charges=jnp.array([1.0]), spins=(1, 0), Rn_local=None,
+        Local_coes=None, Local_exps=None, Rn_non_local=None,
+        Non_local_coes=None, Non_local_exps=None))
+    jb = jax.jit(branch_lib.branch)
+    key = jax.random.PRNGKey(0)
+    data = AINetData(positions=jax.random.normal(key, (batch, 3)),
+                     spins=jnp.array([1.0]), atoms=jnp.zeros((1, 3)),
+                     charges=jnp.array([1.0]))
+    el = ae.local_energy(psi, jnp.array([1.0]), (1, 0))
+    tot = jax.jit(calculate_total_energy(el))
+    _, (e0, var0) = tot(None, key, data)
+    e_trial = e_est = e0
+    weights = jnp.ones((batch,))
+    es = []
+    for t in range(300):
+        key, sk, bk = jax.random.split(key, 3)
+        energy, weights, data = run(None, sk, data, weights,
+                                    10.0 * jnp.sqrt(var0), e_trial, e_est)
+        w = weights / jnp.sum(weights)
+        e_est = jnp.sum(energy.real * w)
+        es.append(float(e_est))
+        if t % 5 == 4:
+            data, weights, _ = jb(data, weights, bk)
+        e_trial = e_est - 0.3 * jnp.log(jnp.mean(weights)).real
+    tail = np.mean(es[-80:])
+    assert abs(float(e0) + 0.48) < 0.02  # wrong trial starts near -0.48
+    np.testing.assert_allclose(tail, -0.5, atol=0.015)
