@@ -46,6 +46,7 @@ def default() -> ml_collections.ConfigDict:
             "center_at_clipped_energy": True,
             "objective": "vmc",         # vmc | wqmc
             "laplacian_chunk": None,    # coordinates per Laplacian chunk
+            "laplacian": "default",     # default | forward (ops/forward_laplacian)
         },
         "network": {
             "hidden_dims": ((32, 16), (32, 16), (32, 16)),
@@ -59,7 +60,7 @@ def default() -> ml_collections.ConfigDict:
             "regular_harmonics": True,  # smooth solid harmonics (see models.harmonics)
             "envelope_type": "pp_like", # pp_like | isotropic | diagonal | full | sto | sto_poly | null
             "use_schnet": False,        # SchNet-style two-electron convolutions
-            "jastrow_scale": None,      # None = exact cusps; 1/nelec = reference
+            "jastrow_scale": None,      # None = 1/nelectrons (exact at det level)
             "network_type": "ainet",    # ainet | psiformer
             "psiformer": {
                 "num_layers": 2,

@@ -17,11 +17,26 @@ def local_energy(f,
                  nspins: Sequence[int],
                  use_scan: bool = False,
                  complex_output: bool = False,
-                 laplacian_chunk: Optional[int] = None):
-    """Builds e_l(params, key, data) -> (E_L, energy_mat) for molecules."""
+                 laplacian_chunk: Optional[int] = None,
+                 laplacian_method: str = "default",
+                 orbitals_fn=None):
+    """Builds e_l(params, key, data) -> (E_L, energy_mat) for molecules.
+
+    laplacian_method: 'default' (batched forward-over-reverse tangents) or
+    'forward' (one-pass forward Laplacian, ops/forward_laplacian.py; requires
+    orbitals_fn and a real wavefunction; ~2x fewer FLOPs).
+    """
     del nspins
-    ke = local_kinetic_energy(f, use_scan=use_scan, complex_output=complex_output,
-                              laplacian_chunk=laplacian_chunk)
+    if laplacian_method == "forward":
+        if orbitals_fn is None or complex_output:
+            raise ValueError("forward Laplacian needs orbitals_fn and a real "
+                             "wavefunction")
+        from aiqmc_tpu.ops.forward_laplacian import make_forward_kinetic
+        ke = make_forward_kinetic(orbitals_fn)
+    else:
+        ke = local_kinetic_energy(f, use_scan=use_scan,
+                                  complex_output=complex_output,
+                                  laplacian_chunk=laplacian_chunk)
 
     def _e_l(params, key: chex.PRNGKey, data) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         del key

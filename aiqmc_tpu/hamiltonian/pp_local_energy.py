@@ -33,15 +33,25 @@ def local_energy(f,
                  use_scan: bool = False,
                  complex_output: bool = False,
                  laplacian_chunk: Optional[int] = None,
-                 reference_compat: bool = False):
+                 reference_compat: bool = False,
+                 laplacian_method: str = "default",
+                 orbitals_fn=None):
     """Builds e_l(params, key, data) for ccECP systems (ref pphamiltonian.py:130-190).
 
     ``lognetwork`` is accepted for reference API parity but the psi-ratio path
     uses the signed network ``f`` directly (TPU-safe real/imag arithmetic).
     """
     del nspins, lognetwork
-    ke = local_kinetic_energy(f, use_scan=use_scan, complex_output=complex_output,
-                              laplacian_chunk=laplacian_chunk)
+    if laplacian_method == "forward":
+        if orbitals_fn is None or complex_output:
+            raise ValueError("forward Laplacian needs orbitals_fn and a real "
+                             "wavefunction")
+        from aiqmc_tpu.ops.forward_laplacian import make_forward_kinetic
+        ke = make_forward_kinetic(orbitals_fn)
+    else:
+        ke = local_kinetic_energy(f, use_scan=use_scan,
+                                  complex_output=complex_output,
+                                  laplacian_chunk=laplacian_chunk)
     get_local = ecp.local_pp_energy(
         nelectrons=nelectrons, natoms=natoms, ndim=ndim, rn_local=rn_local,
         local_coefficient=local_coes, local_exponent=local_exps)

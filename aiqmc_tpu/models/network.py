@@ -367,12 +367,13 @@ def make_orbitals(nspins: Tuple[int, int],
             orbitals = orbitals * env
         orbitals = orbitals * y_orbitals
 
-        # Jastrow factors (ref nn.py:490-504). The reference divides the
-        # exponents by nelectrons, which scales the Kato cusp conditions down
-        # by 1/N (the Pade forms are built to satisfy them exactly at scale 1);
-        # jastrow_scale=None selects the exact-cusp scale 1, pass 1/nelectrons
-        # for reference-faithful behaviour.
-        scale = 1.0 if jastrow_scale is None else jastrow_scale
+        # Jastrow factors (ref nn.py:490-504). The exp(J / nelectrons) factor
+        # multiplies every ROW of the determinant matrix, so the determinant
+        # carries exp(J) exactly (det(cM) = c^n det M) and the Pade cusp
+        # conditions hold at the wavefunction level. (Scaling by 1 instead
+        # raises the Jastrow to the n-th power and underflows the determinant
+        # for large systems.)
+        scale = (1.0 / nelectrons) if jastrow_scale is None else jastrow_scale
         r_ee_mat = jnp.reshape(r_ee, (nelectrons, nelectrons))
         jastrow_ee = jnp.exp(
             jastrow_ee_apply(r_ee_mat, params["jastrow_ee"], parallel_indices,

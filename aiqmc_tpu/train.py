@@ -108,6 +108,8 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
 
 def _build_local_energy(cfg, network):
     complex_output = cfg.network.complex_orbitals
+    laplacian_method = cfg.optim.get("laplacian", "default")
+    orbitals_fn = network.orbitals if laplacian_method == "forward" else None
     if cfg.system.get("pbc", False):
         from aiqmc_tpu.pbc import ewald
         return ewald.local_energy(
@@ -138,13 +140,17 @@ def _build_local_energy(cfg, network):
             list_l=pp.list_l,
             complex_output=complex_output,
             laplacian_chunk=cfg.optim.laplacian_chunk,
-            reference_compat=pp.reference_compat)
+            reference_compat=pp.reference_compat,
+            laplacian_method=laplacian_method,
+            orbitals_fn=orbitals_fn)
     return ae_local_energy.local_energy(
         f=network.apply,
         charges=jnp.asarray(cfg.system.charges),
         nspins=tuple(cfg.system.nspins),
         complex_output=complex_output,
-        laplacian_chunk=cfg.optim.laplacian_chunk)
+        laplacian_chunk=cfg.optim.laplacian_chunk,
+        laplacian_method=laplacian_method,
+        orbitals_fn=orbitals_fn)
 
 
 def _build_mcmc(cfg, network, batch_size: int):

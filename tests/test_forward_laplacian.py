@@ -1,0 +1,106 @@
+"""Forward-Laplacian tests: exactness vs the batched-tangent kinetic and on
+closed-form functions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aiqmc_tpu.hamiltonian import kinetic
+from aiqmc_tpu.models import network as nn, spin_indices
+from aiqmc_tpu.models.network import AINetData
+from aiqmc_tpu.ops import forward_laplacian as fl
+
+
+def test_closed_form_function():
+    """f(x) = sum sin(x_i) * exp(x_0): check value/grad/lap analytically."""
+
+    def f(x):
+        return jnp.sin(x) * jnp.exp(x[0])
+
+    x = jnp.asarray([0.3, -0.7, 1.1])
+    out = fl.forward_laplacian(f)(x)
+    np.testing.assert_allclose(np.asarray(out.x),
+                               np.sin(x) * np.exp(0.3), rtol=1e-6)
+    jac_want = jax.jacfwd(f)(x).T  # (ndirs, out)
+    np.testing.assert_allclose(np.asarray(out.jac), np.asarray(jac_want),
+                               rtol=1e-5)
+    hess = jax.hessian(f)(x)  # (out, n, n)
+    lap_want = jnp.trace(hess, axis1=1, axis2=2)
+    np.testing.assert_allclose(np.asarray(out.lap), np.asarray(lap_want),
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("determinants", [1, 3])
+def test_matches_batched_tangent_kinetic(determinants):
+    nel = 4
+    spins = np.array([1.0, 1.0, -1.0, -1.0])
+    atoms = jnp.asarray([[0.0, 0.0, -0.8], [0.0, 0.0, 0.8]])
+    charges = jnp.asarray([2.0, 2.0])
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nel)
+    up, down = spin_indices.spin_indices_h(spins)
+    net = nn.make_ai_net(
+        nspins=(2, 2), charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=2,
+        nelectrons=nel, full_equivariance=True, complex_orbitals=False,
+        bounded_envelope=True, regular_harmonics=True,
+        determinants=determinants,
+        hidden_dims=((16, 8), (16, 8)), hidden_dims_Ynlm=(8, 8))
+    params = net.init(jax.random.PRNGKey(0))
+    ke_ref = kinetic.local_kinetic_energy(net.apply, complex_output=False)
+    ke_fwd = fl.make_forward_kinetic(net.orbitals)
+    for seed in range(3):
+        pos = jax.random.normal(jax.random.PRNGKey(seed), (nel * 3,))
+        data = AINetData(positions=pos, spins=jnp.asarray(spins), atoms=atoms,
+                         charges=charges)
+        want = float(ke_ref(params, data))
+        got = float(ke_fwd(params, data))
+        np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
+def test_logpsi_fwdlap_matches_network_log():
+    nel = 4
+    spins = np.array([1.0, 1.0, -1.0, -1.0])
+    atoms = jnp.zeros((1, 3))
+    charges = jnp.asarray([4.0])
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nel)
+    up, down = spin_indices.spin_indices_h(spins)
+    net = nn.make_ai_net(
+        nspins=(2, 2), charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=1,
+        nelectrons=nel, full_equivariance=True, complex_orbitals=False,
+        determinants=2, hidden_dims=((8, 4), (8, 4)), hidden_dims_Ynlm=(4, 4))
+    params = net.init(jax.random.PRNGKey(1))
+    pos = jax.random.normal(jax.random.PRNGKey(2), (12,))
+    _, log_want = net.apply(params, pos, jnp.asarray(spins), atoms, charges)
+    grad_want = jax.grad(
+        lambda x: net.apply(params, x, jnp.asarray(spins), atoms, charges)[1]
+    )(pos)
+    orb = fl.forward_laplacian(
+        lambda x: net.orbitals(params, x, jnp.asarray(spins), atoms,
+                               charges)[0])(pos)
+    _, log_got, grad_got, _ = fl.logpsi_fwdlap(orb)
+    np.testing.assert_allclose(float(log_got), float(log_want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad_got), np.asarray(grad_want),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_driver_forward_laplacian_option(tmp_path):
+    from aiqmc_tpu.configs import diatomic
+    from aiqmc_tpu import train
+
+    cfg = diatomic.h2()
+    cfg.batch_size = 8
+    cfg.optim.iterations = 2
+    cfg.optim.laplacian = "forward"
+    cfg.mcmc.steps = 1
+    cfg.mcmc.burn_in = 1
+    cfg.network.hidden_dims = ((8, 4),)
+    cfg.network.hidden_dims_ynlm = (4,)
+    cfg.debug.deterministic = True
+    cfg.log.save_path = str(tmp_path)
+    cfg.log.save_frequency = 1e9
+    r = train.train(cfg)
+    assert np.isfinite(r.energies).all()
