@@ -46,6 +46,7 @@ def build_step(batch):
         cfg.mcmc.steps = MCMC_STEPS
         cfg.network.hidden_dims = ((32, 16), (32, 16), (32, 16))
         cfg.network.hidden_dims_ynlm = (8, 8, 8)
+        cfg.optim.laplacian = "forward"
 
     mesh = mesh_lib.make_mesh()
     network, _ = _build_network(cfg)
