@@ -103,6 +103,11 @@ def default() -> ml_collections.ConfigDict:
                 "heg": False,
             },
         },
+        "pretrain": {
+            "iterations": 0,            # 0 = no pretraining
+            "target": "rhf",            # rhf (built-in STO-3G) | hydrogenic
+            "learning_rate": 3e-4,
+        },
         "observables": {
             "s2": False,                # spin magnitude <S^2>
             "dipole": False,            # electric dipole moment

@@ -333,6 +333,18 @@ def train(cfg: ml_collections.ConfigDict,
             spins=jnp.asarray(rdata.spins),
             atoms=jnp.asarray(rdata.atoms),
             charges=jnp.asarray(rdata.charges))
+    elif cfg.get("pretrain", None) and cfg.pretrain.iterations > 0:
+        # Orbital pretraining before VMC (ref ferminet/train.py:427-438).
+        from aiqmc_tpu import pretrain as pretrain_lib
+        logging.info("Pretraining orbitals for %d iterations",
+                     cfg.pretrain.iterations)
+        key, subkey = jax.random.split(key)
+        params, data = pretrain_lib.pretrain_orbitals(
+            network, data, tuple(cfg.system.nspins),
+            iterations=cfg.pretrain.iterations,
+            learning_rate=cfg.pretrain.learning_rate,
+            target=cfg.pretrain.target, key=subkey, params=params)
+        opt_state = components.init(params)
 
     # Distribute: walkers sharded, params/opt state replicated.
     data = nn.AINetData(

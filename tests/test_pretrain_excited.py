@@ -84,3 +84,26 @@ def test_state_matrix_shape():
     sign, log = apply(params, x, spins, atoms, charges)
     assert sign.shape == (3, 3)
     assert log.shape == (3, 3)
+
+
+def test_pretrain_through_driver(tmp_path):
+    """cfg.pretrain.iterations > 0 runs RHF-target pretraining before VMC
+    (ref ferminet/train.py:427-438 wiring)."""
+    from aiqmc_tpu import config as config_lib, train
+
+    cfg = config_lib.default()
+    cfg.system.atoms = np.array([[0.0, 0.0, 0.0]])
+    cfg.system.charges = np.array([4.0])
+    cfg.system.spins = np.array([1.0, 1.0, -1.0, -1.0])
+    cfg.batch_size = 16
+    cfg.optim.iterations = 2
+    cfg.pretrain.iterations = 3
+    cfg.mcmc.steps = 1
+    cfg.mcmc.burn_in = 1
+    cfg.network.hidden_dims = ((8, 4), (8, 4))
+    cfg.network.hidden_dims_ynlm = (4, 4)
+    cfg.debug.deterministic = True
+    cfg.log.save_path = str(tmp_path)
+    cfg.log.save_frequency = 1e9
+    r = train.train(cfg)
+    assert np.all(np.isfinite(r.energies))
