@@ -246,3 +246,46 @@ def make_nonlocal_pp_energy(signed_network,
         return e_re
 
     return nonlocal_energy
+
+
+def get_P_l(nelectrons: int, natoms: int, ndim: int, log_network_inner):
+    """Reference-API shim (ref pseudopotential.py:272-318).
+
+    Returns generate_points_information(data, params, Points, weights) ->
+    (cos_theta, ratios, roted_configurations, weights, roted_coords) for one
+    rotated grid class, matching the reference's calling convention
+    (``log_network_inner`` returns the complex log psi). The fused
+    make_nonlocal_pp_energy path is preferred on TPU; this shim exists for
+    parity with code written against the reference.
+    """
+
+    def generate_points_information(data, params, points, weights):
+        pos = data.positions
+        x = jnp.reshape(pos, (nelectrons, ndim))
+        ae = x[:, None, :] - data.atoms[None, :, :]
+        r_ae = jnp.linalg.norm(ae, axis=-1)
+        u = ae / r_ae[..., None]
+        pts = points[0] if points.ndim == 3 else points  # (nq, 3)
+        nq = pts.shape[0]
+        cos_theta = jnp.einsum("iad,qd->iaq", u, pts)[None]
+        new_e = (data.atoms[None, :, None, :]
+                 + r_ae[..., None, None] * pts[None, None])
+        base = jnp.broadcast_to(pos, (nelectrons, natoms, nq,
+                                      nelectrons * ndim))
+        eye = jnp.eye(nelectrons, dtype=pos.dtype)
+        mask = jnp.repeat(eye, ndim, axis=1)
+        repl = jnp.tile(new_e, (1, 1, 1, nelectrons))
+        configs = (base * (1.0 - mask[:, None, None, :])
+                   + repl * mask[:, None, None, :])
+        denominator = log_network_inner(params, pos, data.spins, data.atoms,
+                                        data.charges)
+        flat = jnp.reshape(configs, (nelectrons * natoms * nq, -1))
+        values = jax.vmap(
+            lambda c: log_network_inner(params, c, data.spins, data.atoms,
+                                        data.charges))(flat)
+        ratios = jnp.exp(jnp.reshape(values, (nelectrons, natoms, nq))
+                         - denominator) * weights
+        return (cos_theta, ratios[None], configs[None], weights,
+                new_e[None])
+
+    return generate_points_information
