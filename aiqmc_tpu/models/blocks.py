@@ -58,12 +58,30 @@ class capture_activations:
         return False
 
 
+# Optional reduced-precision matmul inputs (cfg.network.matmul_dtype). On TPU
+# the MXU already multiplies f32 operands in bf16 passes at DEFAULT precision;
+# casting the operands additionally halves activation/weight bandwidth into
+# the MXU. Accumulation stays f32 (preferred_element_type) and the determinant
+# path is untouched. Set at build time (trace-time static).
+_MATMUL_DTYPE = None
+
+
+def set_matmul_dtype(dtype) -> None:
+    """dtype=None restores full precision; jnp.bfloat16 enables bf16 inputs."""
+    global _MATMUL_DTYPE
+    _MATMUL_DTYPE = dtype
+
+
 def linear_layer(x: jnp.ndarray, w: jnp.ndarray,
                  b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Evaluates x @ w (+ b). The matmul is the MXU workhorse of the model."""
     if _ACTIVATION_TAPE is not None:
         _ACTIVATION_TAPE.append((x, w))
-    y = jnp.dot(x, w, preferred_element_type=x.dtype)
+    if _MATMUL_DTYPE is not None and not jnp.iscomplexobj(x):
+        y = jnp.dot(x.astype(_MATMUL_DTYPE), w.astype(_MATMUL_DTYPE),
+                    preferred_element_type=jnp.float32)
+    else:
+        y = jnp.dot(x, w, preferred_element_type=x.dtype)
     return y + b if b is not None else y
 
 
@@ -123,7 +141,10 @@ def convolu_layer(nelectrons: int, x: jnp.ndarray, w: jnp.ndarray,
 
 
 def slogdet(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sign/phase and log|det| with a fast 1x1 path (ref network_blocks.py:138-158)."""
+    """Sign/phase and log|det| with a fast 1x1 path (ref network_blocks.py:138-158).
+
+    Real matrices use the batch-vectorised unrolled elimination in
+    ``ops.slogdet`` (XLA's LU loop is slow for many tiny matrices on TPU)."""
     if x.shape[-1] == 1:
         if jnp.iscomplexobj(x):
             sign = x[..., 0, 0] / jnp.abs(x[..., 0, 0])
@@ -131,7 +152,8 @@ def slogdet(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
             sign = jnp.sign(x[..., 0, 0])
         logdet = jnp.log(jnp.abs(x[..., 0, 0]))
     else:
-        sign, logdet = jnp.linalg.slogdet(x)
+        from aiqmc_tpu.ops import slogdet as fast_slogdet
+        sign, logdet = fast_slogdet.slogdet(x)
     return sign, logdet
 
 

@@ -405,8 +405,9 @@ def slogdet_fwdlap(orb: FwdLap):
     A = orb.x          # (ndet, ne, ne)
     J = orb.jac        # (n, ndet, ne, ne)
     L = orb.lap        # (ndet, ne, ne)
-    sign, logabs = jnp.linalg.slogdet(A)
-    Ainv = jnp.linalg.inv(A)  # (ndet, ne, ne)
+    from aiqmc_tpu.ops import slogdet as fast_slogdet
+    sign, logabs = fast_slogdet.slogdet(A)
+    Ainv = fast_slogdet.inv(A)  # (ndet, ne, ne)
     # grad_d log|det A_k| = tr(Ainv_k J_dk)
     grad = jnp.einsum("kij,dkji->dk", Ainv, J)
     M = jnp.einsum("kij,dkjl->dkil", Ainv, J)  # Ainv @ J_d
