@@ -39,7 +39,12 @@ def default() -> ml_collections.ConfigDict:
                 "min_damping": 1e-4,
                 "lr": {"rate": 0.02, "delay": 10000.0},
                 "momentum": 0.9,
-                "update_period": 1,
+                "update_period": 1,       # Kronecker-factor refresh cadence
+                "adaptive_learning_rate": False,  # exact quadratic-model (a, mu)
+                "adaptive_damping": False,        # LM reduction-ratio rule
+                "damping_adaptation_interval": 5,
+                "damping_adaptation_decay": 0.9,
+                "max_damping": 1e6,
             },
             "clip_local_energy": 5.0,
             "clip_from_median": True,
@@ -61,6 +66,7 @@ def default() -> ml_collections.ConfigDict:
             "envelope_type": "pp_like", # pp_like | isotropic | diagonal | full | sto | sto_poly | null
             "use_schnet": False,        # SchNet-style two-electron convolutions
             "jastrow_scale": None,      # None = 1/nelectrons (exact at det level)
+            "matmul_dtype": "float32",  # float32 | bfloat16 (h-stream matmuls)
             "network_type": "ainet",    # ainet | psiformer
             "psiformer": {
                 "num_layers": 2,
@@ -84,6 +90,7 @@ def default() -> ml_collections.ConfigDict:
             "charges": None,            # (natoms,)
             "spins": None,              # (nelectrons,) of +-1
             "nspins": None,             # (n_up, n_down)
+            "states": 0,                # K>0: NES-VMC total ansatz of K states
             "ndim": 3,
             "use_pp": False,
             "pp": {

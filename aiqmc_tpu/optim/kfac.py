@@ -106,9 +106,24 @@ class KfacOptions:
     cov_ema_decay: float = 0.95
     norm_constraint: float = 1e-3
     min_damping: float = 1e-4
+    max_damping: float = jnp.inf
     momentum: float = 0.0
     learning_rate_schedule: Callable[[Any], Any] = lambda t: 5e-2 / (1 + t / 1e4)
-    update_period: int = 1  # recompute factors every k steps
+    update_period: int = 1  # recompute Kronecker factors every k steps
+    # Quadratic-model step sizing (kfac_jax use_adaptive_learning_rate /
+    # use_adaptive_momentum): pick (alpha, mu) minimising the local quadratic
+    # model g'd + d'Cd/2 over span{preconditioned grad, previous velocity},
+    # with C = F + lambda*I and F applied EXACTLY on the batch via per-sample
+    # tangents of log|psi| (one extra vmapped JVP; no factorised approximation).
+    adaptive_learning_rate: bool = False
+    # Levenberg-Marquardt damping adaptation (kfac_jax use_adaptive_damping):
+    # every `damping_adaptation_interval` steps compare the realised loss drop
+    # with the quadratic-model prediction (reduction ratio rho) and scale
+    # damping down when the model is trustworthy (rho > 0.75), up when not
+    # (rho < 0.25). Costs one extra loss evaluation on those steps.
+    adaptive_damping: bool = False
+    damping_adaptation_interval: int = 5
+    damping_adaptation_decay: float = 0.9
 
 
 @chex.dataclass
@@ -228,16 +243,44 @@ def make_kfac_optimizer(evaluate_loss,
                          factors_a=factors_a, factors_g=factors_g,
                          damping=jnp.asarray(options.damping))
 
+    def _batch_tangent(params, direction, data):
+        """Per-sample J@direction of log|psi| — exact Fisher-vector pieces.
+
+        x^T F y on the batch is mean(t_x * t_y) with t = J@x, avoiding the
+        Kronecker approximation when sizing steps (kfac_jax's exact quadratic
+        model uses the same curvature-matrix-vector products)."""
+        def tang(pos):
+            f = lambda p: loss_network(p, pos, data.spins, data.atoms,
+                                       data.charges)
+            _, t = jax.jvp(f, (params,), (direction,))
+            return t
+        return jax.vmap(tang)(data.positions)
+
+    def _tree_vdot(x, y):
+        s = jax.tree_util.tree_map(lambda a, b: jnp.sum(a * b), x, y)
+        return jax.tree_util.tree_reduce(lambda a, b: a + b, s)
+
     def step(params: ParamTree, state: KfacState, key: chex.PRNGKey,
              data: AINetData):
         (loss_val, aux), grads = loss_and_grad(params, key, data)
-
-        batch_a, batch_g = _batch_factors(params, data)
         decay = options.cov_ema_decay
-        factors_a = [decay * fa + (1 - decay) * na
-                     for fa, na in zip(state.factors_a, batch_a)]
-        factors_g = [decay * fg + (1 - decay) * ng
-                     for fg, ng in zip(state.factors_g, batch_g)]
+
+        def _refreshed_factors():
+            batch_a, batch_g = _batch_factors(params, data)
+            return ([decay * fa + (1 - decay) * na
+                     for fa, na in zip(state.factors_a, batch_a)],
+                    [decay * fg + (1 - decay) * ng
+                     for fg, ng in zip(state.factors_g, batch_g)])
+
+        if options.update_period <= 1:
+            factors_a, factors_g = _refreshed_factors()
+        else:
+            # Factor-update amortisation (kfac_jax cov_update_every): the
+            # probe-gradient factor pass is skipped between refresh steps.
+            factors_a, factors_g = jax.lax.cond(
+                state.step % options.update_period == 0,
+                _refreshed_factors,
+                lambda: (list(state.factors_a), list(state.factors_g)))
 
         # Precondition dense-layer gradients: V = A^-1 [gW; gb] G^-1.
         precon = grads
@@ -248,7 +291,8 @@ def make_kfac_optimizer(evaluate_loss,
             stacked = jnp.concatenate([gw, gb[None, :]], axis=0)  # (din+1, dout)
             da, dg = A.shape[0], G.shape[0]
             pi = jnp.sqrt((jnp.trace(A) / da) / (jnp.trace(G) / dg) + 1e-30)
-            lam = jnp.maximum(state.damping, options.min_damping)
+            lam = jnp.clip(state.damping, options.min_damping,
+                           options.max_damping)
             A_d = A + jnp.sqrt(lam) * pi * jnp.eye(da)
             G_d = G + jnp.sqrt(lam) / pi * jnp.eye(dg)
             v = jax.scipy.linalg.solve(A_d, stacked, assume_a="pos")
@@ -268,22 +312,78 @@ def make_kfac_optimizer(evaluate_loss,
             if id(leaf) not in dense_leaves:
                 sq_fisher_norm += jnp.sum(leaf * leaf)
 
-        lr = options.learning_rate_schedule(state.step)
-        scale = jnp.minimum(
-            1.0, jnp.sqrt(options.norm_constraint /
-                          (lr * lr * sq_fisher_norm + 1e-30)))
+        lam = jnp.clip(state.damping, options.min_damping, options.max_damping)
+        loss_real = (loss_val.real if jnp.iscomplexobj(loss_val) else loss_val)
 
-        velocities = jax.tree_util.tree_map(
-            lambda v, p: options.momentum * v + scale * p,
-            state.velocities, precon)
+        if options.adaptive_learning_rate:
+            # Exact quadratic model over span{precond grad d, velocity p}:
+            # minimise g'delta + delta'(F + lam I)delta / 2 for
+            # delta = a*d + b*p, with F applied exactly on the batch.
+            d, p = precon, state.velocities
+            t_d = _batch_tangent(params, d, data)
+            t_p = _batch_tangent(params, p, data)
+            dd, dp_, pp = (_tree_vdot(d, d), _tree_vdot(d, p),
+                           _tree_vdot(p, p))
+            c_dd = jnp.mean(t_d * t_d) + lam * dd
+            c_dp = jnp.mean(t_d * t_p) + lam * dp_
+            c_pp = jnp.mean(t_p * t_p) + lam * pp
+            g_d = _tree_vdot(grads, d).real
+            g_p = _tree_vdot(grads, p).real
+            M = jnp.array([[c_dd, c_dp], [c_dp, c_pp]])
+            ridge = 1e-7 * jnp.maximum(c_dd, c_pp) + 1e-30
+            coeffs = jnp.linalg.solve(M + ridge * jnp.eye(2),
+                                      -jnp.array([g_d, g_p]))
+            a_c, b_c = coeffs[0], coeffs[1]
+            delta = jax.tree_util.tree_map(
+                lambda dx, px: a_c * dx + b_c * px, d, p)
+            velocities = delta
+            t_delta = a_c * t_d + b_c * t_p
+            quad_model = (a_c * g_d + b_c * g_p
+                          + 0.5 * (jnp.mean(t_delta * t_delta)
+                                   + lam * _tree_vdot(delta, delta)))
+        else:
+            lr = options.learning_rate_schedule(state.step)
+            scale = jnp.minimum(
+                1.0, jnp.sqrt(options.norm_constraint /
+                              (lr * lr * sq_fisher_norm + 1e-30)))
+            velocities = jax.tree_util.tree_map(
+                lambda v, g: options.momentum * v + scale * g,
+                state.velocities, precon)
+            delta = jax.tree_util.tree_map(lambda v: -lr * v, velocities)
+            quad_model = None
+
         new_params = jax.tree_util.tree_map(
-            lambda p, v: p - lr * v, params, velocities)
+            lambda p_, dx: p_ + dx, params, delta)
+
+        damping = state.damping
+        if options.adaptive_damping:
+            # Levenberg-Marquardt reduction ratio rho = actual/predicted loss
+            # change on the same batch & key (kfac_jax use_adaptive_damping).
+            if quad_model is None:
+                t_delta = _batch_tangent(params, delta, data)
+                quad_model = (_tree_vdot(grads, delta).real
+                              + 0.5 * (jnp.mean(t_delta * t_delta)
+                                       + lam * _tree_vdot(delta, delta)))
+
+            def _adapt(damp):
+                new_loss, _ = evaluate_loss(new_params, key, data)
+                new_real = (new_loss.real if jnp.iscomplexobj(new_loss)
+                            else new_loss)
+                rho = (new_real - loss_real) / (quad_model - 1e-30)
+                dec = (options.damping_adaptation_decay
+                       ** options.damping_adaptation_interval)
+                damp = jnp.where(rho > 0.75, damp * dec,
+                                 jnp.where(rho < 0.25, damp / dec, damp))
+                return jnp.clip(damp, options.min_damping, options.max_damping)
+
+            damping = jax.lax.cond(
+                state.step % options.damping_adaptation_interval == 0,
+                _adapt, lambda dmp: dmp, damping)
 
         # NaN guard (ref Optimizer/kfac.py:63-79 reset_if_nan), extended to
         # non-finite updates/factors (a single spiking walker must not corrupt
         # parameters or the factor EMAs).
         from aiqmc_tpu.optim.adam import tree_all_finite
-        loss_real = (loss_val.real if jnp.iscomplexobj(loss_val) else loss_val)
         ok = (jnp.isfinite(loss_real) & tree_all_finite(velocities)
               & tree_all_finite(factors_a) & tree_all_finite(factors_g))
         new_params = jax.lax.cond(ok, lambda: new_params, lambda: params)
@@ -293,9 +393,10 @@ def make_kfac_optimizer(evaluate_loss,
                                  lambda: state.factors_a)
         factors_g = jax.lax.cond(ok, lambda: factors_g,
                                  lambda: state.factors_g)
+        damping = jnp.where(ok & jnp.isfinite(damping), damping, state.damping)
         new_state = KfacState(step=state.step + 1, velocities=velocities,
                               factors_a=factors_a, factors_g=factors_g,
-                              damping=state.damping)
+                              damping=damping)
         return new_params, new_state, loss_val, aux
 
     return init, step

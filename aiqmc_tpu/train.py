@@ -54,6 +54,10 @@ class TrainResult:
 
 
 def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
+    from aiqmc_tpu.models import blocks
+    blocks.set_matmul_dtype(
+        jnp.bfloat16
+        if cfg.network.get("matmul_dtype", "float32") == "bfloat16" else None)
     spins = np.asarray(cfg.system.spins)
     nelectrons = int(spins.size)
     par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelectrons)
@@ -103,6 +107,15 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         envelope_type=cfg.network.get("envelope_type", "pp_like"),
         use_schnet=cfg.network.get("use_schnet", False),
         jastrow_scale=cfg.network.get("jastrow_scale", None))
+    states = cfg.system.get("states", 0)
+    if states:
+        # Wrap K parameter copies into the NES-VMC total ansatz det[psi_i(x_j)]
+        # (ref ferminet/networks.py:1313-1348); `orbitals` stays the base
+        # network's for the per-state forward-Laplacian energy matrix.
+        from aiqmc_tpu.models import excited
+        tot_init, tot_apply = excited.make_total_ansatz(network, states)
+        network = nn.Network(init=tot_init, apply=tot_apply,
+                             orbitals=network.orbitals)
     return network, (up, down)
 
 
@@ -110,6 +123,17 @@ def _build_local_energy(cfg, network):
     complex_output = cfg.network.complex_orbitals
     laplacian_method = cfg.optim.get("laplacian", "default")
     orbitals_fn = network.orbitals if laplacian_method == "forward" else None
+    states = cfg.system.get("states", 0)
+    if states:
+        # NES-VMC energy matrix over the K-state total ansatz
+        # (ref ferminet/hamiltonian.py:165-226,340-394).
+        from aiqmc_tpu.hamiltonian import excited as exc_ham
+        return exc_ham.local_energy_matrix(
+            network.orbitals,
+            charges=jnp.asarray(cfg.system.charges),
+            states=states,
+            nelectrons=int(np.asarray(cfg.system.spins).size),
+            ndim=cfg.system.ndim)
     if cfg.system.get("pbc", False):
         from aiqmc_tpu.pbc import ewald
         return ewald.local_energy(
@@ -154,7 +178,10 @@ def _build_local_energy(cfg, network):
 
 
 def _build_mcmc(cfg, network, batch_size: int):
-    nelectrons = int(np.asarray(cfg.system.spins).size)
+    # NES-VMC extends the configuration to K stacked electron sets; the
+    # sampler sweeps all K * nelec electrons of the total ansatz.
+    nelectrons = (int(np.asarray(cfg.system.spins).size)
+                  * max(1, cfg.system.get("states", 0)))
     lattice = (jnp.asarray(cfg.system.structure)
                if cfg.system.get("pbc", False) else None)
     if cfg.mcmc.algorithm == "drift_diffusion":
@@ -183,6 +210,16 @@ def make_learning_rate_schedule(cfg):
         return rate * jnp.power(1.0 / (1.0 + (t_ / delay)), decay)
 
     return schedule
+
+
+def _step_stats(aux):
+    """Per-step scalars surfaced from the loss aux (variance; NES-VMC
+    per-state energies as the batch-mean energy-matrix diagonal)."""
+    stats = {"variance": aux.variance}
+    if aux.local_energy_mat is not None:
+        mean_mat = jnp.mean(aux.local_energy_mat, axis=0)
+        stats["state_energies"] = jnp.diagonal(mean_mat).real
+    return stats
 
 
 class _TrainingComponents:
@@ -228,7 +265,13 @@ def make_training_components(cfg, network, batch_size: int,
             cov_ema_decay=kf.cov_ema_decay,
             norm_constraint=kf.norm_constraint,
             min_damping=kf.min_damping,
+            max_damping=kf.get("max_damping", 1e6),
             momentum=kf.momentum,
+            update_period=kf.get("update_period", 1),
+            adaptive_learning_rate=kf.get("adaptive_learning_rate", False),
+            adaptive_damping=kf.get("adaptive_damping", False),
+            damping_adaptation_interval=kf.get("damping_adaptation_interval", 5),
+            damping_adaptation_decay=kf.get("damping_adaptation_decay", 0.9),
             learning_rate_schedule=lambda t: kf.lr.rate / (1.0 + t / kf.lr.delay))
         opt_init, kfac_step = kfac_lib.make_kfac_optimizer(
             evaluate_loss=evaluate_loss,
@@ -242,7 +285,8 @@ def make_training_components(cfg, network, batch_size: int,
             data, pmove = mc_step(params, data, mcmc_key)
             params, opt_state, loss_val, aux = kfac_step(
                 params, opt_state, loss_key, data)
-            return params, opt_state, data, loss_val, aux.variance, pmove
+            return (params, opt_state, data, loss_val,
+                    _step_stats(aux), pmove)
 
         return _TrainingComponents(mc_step, evaluate_loss, opt_init,
                                    combined_step)
@@ -256,7 +300,8 @@ def make_training_components(cfg, network, batch_size: int,
             mcmc_key, loss_key = jax.random.split(key)
             data, pmove = mc_step(params, data, mcmc_key)
             loss_val, aux = evaluate_loss(params, loss_key, data)
-            return params, opt_state, data, loss_val, aux.variance, pmove
+            return (params, opt_state, data, loss_val,
+                    _step_stats(aux), pmove)
 
         return _TrainingComponents(mc_step, evaluate_loss, opt_init_none,
                                    combined_step_none)
@@ -273,7 +318,8 @@ def make_training_components(cfg, network, batch_size: int,
         data, pmove = mc_step(params, data, mcmc_key)
         data, params, opt_state, loss_val, aux = opt_step(
             data, params, opt_state, loss_key)
-        return params, opt_state, data, loss_val, aux.variance, pmove
+        return (params, opt_state, data, loss_val,
+                    _step_stats(aux), pmove)
 
     return _TrainingComponents(mc_step, evaluate_loss, optimizer.init,
                                combined_step)
@@ -310,9 +356,22 @@ def train(cfg: ml_collections.ConfigDict,
         checkpoint_lib.find_last_checkpoint(ckpt_restore_path))
 
     key, subkey = jax.random.split(key)
-    pos, spins_out = init_electrons(
-        subkey, cfg.system.structure, atoms, charges, spins,
-        batch_size=cfg.batch_size, init_width=cfg.mcmc.init_width)
+    states = cfg.system.get("states", 0)
+    if states:
+        # One independently-initialised electron set per state, stacked along
+        # the coordinate axis (extended NES configuration).
+        state_pos = []
+        for s in range(states):
+            pos_s, spins_out = init_electrons(
+                jax.random.fold_in(subkey, s), cfg.system.structure, atoms,
+                charges, spins, batch_size=cfg.batch_size,
+                init_width=cfg.mcmc.init_width)
+            state_pos.append(pos_s)
+        pos = jnp.concatenate(state_pos, axis=-1)
+    else:
+        pos, spins_out = init_electrons(
+            subkey, cfg.system.structure, atoms, charges, spins,
+            batch_size=cfg.batch_size, init_width=cfg.mcmc.init_width)
     data = nn.AINetData(positions=pos, spins=spins_out, atoms=atoms,
                         charges=charges)
 
@@ -333,7 +392,8 @@ def train(cfg: ml_collections.ConfigDict,
             spins=jnp.asarray(rdata.spins),
             atoms=jnp.asarray(rdata.atoms),
             charges=jnp.asarray(rdata.charges))
-    elif cfg.get("pretrain", None) and cfg.pretrain.iterations > 0:
+    elif (cfg.get("pretrain", None) and cfg.pretrain.iterations > 0
+          and not cfg.system.get("states", 0)):
         # Orbital pretraining before VMC (ref ferminet/train.py:427-438).
         from aiqmc_tpu import pretrain as pretrain_lib
         logging.info("Pretraining orbitals for %d iterations",
@@ -343,7 +403,8 @@ def train(cfg: ml_collections.ConfigDict,
             network, data, tuple(cfg.system.nspins),
             iterations=cfg.pretrain.iterations,
             learning_rate=cfg.pretrain.learning_rate,
-            target=cfg.pretrain.target, key=subkey, params=params)
+            target=cfg.pretrain.target, key=subkey, params=params,
+            pp_cfg=cfg.system.pp if cfg.system.use_pp else None)
         opt_state = components.init(params)
 
     # Distribute: walkers sharded, params/opt state replicated.
@@ -377,6 +438,9 @@ def train(cfg: ml_collections.ConfigDict,
                 obs_lib.make_dipole(network.apply)))
 
     schema = ["step", "energy", "variance", "pmove", "ewmean", "ewstd"]
+    n_states = cfg.system.get("states", 0)
+    state_cols = [f"energy_state_{k}" for k in range(n_states)]
+    schema += state_cols
     schema += list(obs_fns.keys())
     if writer_manager is None:
         writer_manager = writers.Writer(
@@ -391,7 +455,7 @@ def train(cfg: ml_collections.ConfigDict,
     with writer_manager as writer:
         for t in range(t_init, t_init + cfg.optim.iterations):
             key, subkey = jax.random.split(key)
-            params, opt_state, data, loss_val, variance, pmove = jit_step(
+            params, opt_state, data, loss_val, stats, pmove = jit_step(
                 params, opt_state, data, subkey)
             loss_host = float(np.asarray(jax.device_get(loss_val)).real)
             energies.append(loss_host)
@@ -400,8 +464,12 @@ def train(cfg: ml_collections.ConfigDict,
             if t % cfg.log.stats_frequency == 0:
                 extra = {name: float(np.asarray(fn(params, data)).reshape(-1)[0])
                          for name, fn in obs_fns.items()}
+                if state_cols:
+                    se = np.asarray(stats["state_energies"]).reshape(-1)
+                    extra.update({c: float(v)
+                                  for c, v in zip(state_cols, se)})
                 writer.write(t, step=t, energy=loss_host,
-                             variance=float(np.asarray(variance).real),
+                             variance=float(np.asarray(stats["variance"]).real),
                              pmove=float(np.asarray(pmove)),
                              ewmean=ew.mean, ewstd=ew.std, **extra)
             logging.info("Step %05d: %03.4f E_h", t, loss_host)
