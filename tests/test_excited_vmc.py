@@ -70,3 +70,74 @@ def test_nes_vmc_hydrogen_two_states():
     # variational bound (tail above the exact total with MC slack).
     assert tail < -0.25, tail
     assert tail > -0.75, tail
+
+
+def test_energy_matrix_trace_equals_total_ansatz_local_energy():
+    """tr(M^-1 HM) == E_L of det(M) exactly (det is linear in each row)."""
+    spins = np.array([1.0, -1.0])
+    nel, states = 2, 2
+    atoms = jnp.zeros((1, 3))
+    charges = jnp.array([2.0])
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nel)
+    up, down = spin_indices.spin_indices_h(spins)
+    base = nn.make_ai_net(
+        nspins=(1, 1), charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=1,
+        nelectrons=nel, full_equivariance=True, complex_orbitals=False,
+        bounded_envelope=True, regular_harmonics=True,
+        hidden_dims=((8, 4), (8, 4)), hidden_dims_Ynlm=(4, 4))
+    init, apply = excited.make_total_ansatz(base, states)
+    params = init(jax.random.PRNGKey(0))
+
+    el_total = exc_ham.local_energy(apply, charges, (1, 1), states=states,
+                                    nelectrons=nel)
+    el_mat = exc_ham.local_energy_matrix(base.orbitals, charges,
+                                         states=states, nelectrons=nel)
+
+    key = jax.random.PRNGKey(5)
+    for i in range(3):
+        pos = jax.random.normal(jax.random.fold_in(key, i),
+                                (states * nel * 3,))
+        data = AINetData(positions=pos, spins=jnp.asarray(spins), atoms=atoms,
+                         charges=charges)
+        e_tot, _ = el_total(params, None, data)
+        e_tr, mat = el_mat(params, None, data)
+        assert mat.shape == (states, states)
+        np.testing.assert_allclose(float(e_tr), float(e_tot), rtol=1e-4)
+
+
+def test_train_driver_excited_states_smoke():
+    """cfg.system.states=2 end-to-end: per-state energy columns in the CSV."""
+    import tempfile
+    from aiqmc_tpu import config as config_lib, train
+
+    cfg = config_lib.default()
+    with cfg.unlocked():
+        cfg.system.atoms = np.array([[0.0, 0.0, 0.0]])
+        cfg.system.charges = np.array([1.0])
+        cfg.system.spins = np.array([1.0])
+        cfg.system.states = 2
+        cfg.batch_size = 16
+        cfg.optim.iterations = 2
+        cfg.optim.optimizer = "adam"
+        cfg.mcmc.steps = 2
+        cfg.mcmc.burn_in = 2
+        cfg.network.hidden_dims = ((8, 4), (8, 4))
+        cfg.network.hidden_dims_ynlm = (4, 4)
+        cfg.debug.deterministic = True
+        cfg.log.save_frequency = 1e9
+    with tempfile.TemporaryDirectory() as tmp:
+        with cfg.unlocked():
+            cfg.log.save_path = tmp
+        result = train.train(cfg)
+        import csv, os
+        with open(os.path.join(result.ckpt_save_path,
+                               "train_states.csv")) as f:
+            rows = list(csv.DictReader(f))
+    assert np.all(np.isfinite(result.energies))
+    assert "energy_state_0" in rows[0] and "energy_state_1" in rows[0]
+    # trace identity: sum of per-state energies ~ total (same batch)
+    tot = float(rows[-1]["energy"])
+    parts = float(rows[-1]["energy_state_0"]) + float(rows[-1]["energy_state_1"])
+    np.testing.assert_allclose(parts, tot, rtol=1e-3, atol=1e-3)
