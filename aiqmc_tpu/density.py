@@ -65,3 +65,116 @@ def radial_density_profile(data: AINetData, bins: int = 64,
     shell = 4.0 * jnp.pi * mids ** 2 * (edges[1] - edges[0])
     nwalkers = data.positions.shape[0]
     return mids, hist / (shell * nwalkers)
+
+
+# ---------------------------------------------------------------------------
+# One-RDM with an auxiliary r' MCMC chain against the HF one-electron density
+# (ref ferminet/observables.py:275-407 + ferminet/density.py:84-301), driven by
+# the built-in STO-3G RHF instead of pyscf.
+# ---------------------------------------------------------------------------
+
+import chex
+
+
+@chex.dataclass
+class DensityState:
+    """Auxiliary r' chain state (ref ferminet/observables.py:32-64)."""
+    t: jnp.ndarray            # step counter
+    positions: jnp.ndarray    # (batch, ndim) primed positions
+    probabilities: jnp.ndarray  # p_HF at positions
+    move_width: jnp.ndarray   # RW proposal width
+
+
+def make_one_rdm_aux(signed_network, atoms, charges, nspins,
+                     ndim: int = 3, mcmc_steps: int = 10):
+    """One-RDM in the HF molecular-orbital basis via importance sampling.
+
+        rho^s_ij = N_s * E_{x ~ |psi|^2, r' ~ p_HF} [
+            phi_i(r_s) phi_j(r') psi(x: r_s -> r') / (psi(x) p_HF(r')) ]
+
+    with r_s the first electron of spin channel s and p_HF the (analytically
+    normalised) HF one-electron density mean_occ |phi|^2
+    (ref ferminet/density.py:53-83,170-301). For the HF determinant itself this
+    gives rho^s = diag(occupations), which tests/test_density.py verifies.
+
+    Returns (init, update, estimator):
+      init(key, data) -> DensityState seeded from walker electron positions.
+      update(params, state, key) -> DensityState after `mcmc_steps` RW-MH moves
+        of r' against p_HF, with a jittable width adaptation toward
+        pmove ~ 0.5-0.55 (ref ferminet/mcmc.py:293-327 semantics).
+      estimator(params, data, state) -> (nchannels, norb, norb) rho sample.
+    """
+    from aiqmc_tpu.utils import scf as scf_lib
+
+    nelectrons = int(nspins[0] + nspins[1])
+    rhf = scf_lib.run_rhf(atoms, charges,
+                          nelectrons=nelectrons - (nelectrons % 2))
+    basis = rhf.basis
+    mo = jnp.asarray(rhf.mo_coeff)
+    nocc = rhf.nocc
+
+    from aiqmc_tpu.utils.gto import eval_basis
+
+    def hf_prob(r):
+        """p_HF(r) for (..., ndim) points."""
+        occ = eval_basis(basis, r) @ mo[:, :nocc]
+        return jnp.mean(occ ** 2, axis=-1)
+
+    def init(key: chex.PRNGKey, data: AINetData) -> DensityState:
+        batch = data.positions.shape[0]
+        pos = jnp.reshape(data.positions, (batch, -1, ndim))
+        idx = jax.random.randint(key, (batch,), 0, pos.shape[1])
+        rprime = jnp.take_along_axis(pos, idx[:, None, None], axis=1)[:, 0]
+        return DensityState(t=jnp.zeros((), jnp.int32), positions=rprime,
+                            probabilities=hf_prob(rprime),
+                            move_width=jnp.asarray(0.4))
+
+    def update(params, state: DensityState, key: chex.PRNGKey) -> DensityState:
+        del params
+
+        def body(i, carry):
+            pos, logp, naccept, key_ = carry
+            key_, k1, k2 = jax.random.split(key_, 3)
+            prop = pos + state.move_width * jax.random.normal(k1, pos.shape)
+            logp_new = jnp.log(hf_prob(prop) + 1e-300)
+            accept = (jnp.log(jax.random.uniform(k2, logp.shape))
+                      < logp_new - logp)
+            pos = jnp.where(accept[:, None], prop, pos)
+            logp = jnp.where(accept, logp_new, logp)
+            return pos, logp, naccept + jnp.mean(accept), key_
+
+        logp0 = jnp.log(state.probabilities + 1e-300)
+        pos, logp, nacc, _ = jax.lax.fori_loop(
+            0, mcmc_steps, body,
+            (state.positions, logp0, jnp.zeros(()), key))
+        pmove = nacc / mcmc_steps
+        width = state.move_width * jnp.where(
+            pmove > 0.55, 1.1, jnp.where(pmove < 0.5, 0.9, 1.0))
+        return DensityState(t=state.t + 1, positions=pos,
+                            probabilities=jnp.exp(logp), move_width=width)
+
+    def estimator(params, data: AINetData, state: DensityState) -> jnp.ndarray:
+        batch_net = jax.vmap(signed_network,
+                             in_axes=(None, 0, None, None, None))
+        signs_d, logs_d = batch_net(params, data.positions, data.spins,
+                                    data.atoms, data.charges)
+        phi_j = eval_basis(basis, state.positions) @ mo   # (B, norb)
+        inv_p = 1.0 / state.probabilities
+        channels = (0, nspins[0]) if nspins[1] > 0 else (0,)
+        rhos = []
+        for spin, i0 in enumerate(channels):
+            pos2 = data.positions.at[:, i0 * ndim:(i0 + 1) * ndim].set(
+                state.positions)
+            signs_n, logs_n = batch_net(params, pos2, data.spins, data.atoms,
+                                        data.charges)
+            ratio = signs_n * signs_d * jnp.exp(logs_n - logs_d)
+            r1 = data.positions[:, i0 * ndim:(i0 + 1) * ndim]
+            phi_i = eval_basis(basis, r1) @ mo
+            w = ratio * inv_p
+            rho = nspins[spin] * jnp.mean(
+                phi_i[:, :, None] * phi_j[:, None, :] * w[:, None, None],
+                axis=0)
+            rhos.append(rho)
+        return jnp.stack(rhos)
+
+    return init, update, estimator

@@ -51,3 +51,71 @@ def test_radial_density_normalisation():
 def test_multi_host_single_process():
     assert multi_host.broadcast_seed(42) == 42
     assert multi_host.check_synced({"w": jnp.ones((3,))})
+
+
+def test_one_rdm_aux_mcmc_hf_oracle():
+    """For the HF determinant itself, rho^s in the MO basis = diag(occ).
+
+    He (1 up, 1 down): psi = phi_0(r1) phi_0(r2) -> rho^s_ij = delta_i0
+    delta_j0 per spin channel, trace 1.
+    """
+    import jax
+    import jax.numpy as jnp
+    from aiqmc_tpu import density as density_lib
+    from aiqmc_tpu.models.network import AINetData
+    from aiqmc_tpu.utils import scf as scf_lib
+    from aiqmc_tpu.utils.gto import eval_basis
+
+    atoms = np.zeros((1, 3))
+    charges = np.array([2.0])
+    rhf = scf_lib.run_rhf(atoms, charges, nelectrons=2)
+    mo = jnp.asarray(rhf.mo_coeff)
+    basis = rhf.basis
+
+    def signed_network(params, pos, spins, atoms_, charges_):
+        del params, spins, atoms_, charges_
+        x = pos.reshape(2, 3)
+        phi = eval_basis(basis, x) @ mo[:, :1]     # (2, 1)
+        val = phi[0, 0] * phi[1, 0]
+        return jnp.sign(val), jnp.log(jnp.abs(val))
+
+    init, update, estimator = density_lib.make_one_rdm_aux(
+        signed_network, atoms, charges, nspins=(1, 1))
+
+    # Sample walkers from |psi|^2 = phi0(r1)^2 phi0(r2)^2 by RW MH.
+    batch = 2048
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (batch, 6))
+
+    def logprob(x):
+        phi = eval_basis(basis, x.reshape(2, 3)) @ mo[:, :1]
+        return 2 * (jnp.log(jnp.abs(phi[0, 0])) + jnp.log(jnp.abs(phi[1, 0])))
+
+    @jax.jit
+    def mh(pos, key):
+        def body(i, carry):
+            pos, lp, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            prop = pos + 0.4 * jax.random.normal(k1, pos.shape)
+            lp_new = jax.vmap(logprob)(prop)
+            acc = jnp.log(jax.random.uniform(k2, lp.shape)) < lp_new - lp
+            return jnp.where(acc[:, None], prop, pos), jnp.where(acc, lp_new, lp), key
+        lp = jax.vmap(logprob)(pos)
+        pos, _, _ = jax.lax.fori_loop(0, 200, body, (pos, lp, key))
+        return pos
+
+    pos = mh(pos, jax.random.fold_in(key, 1))
+    data = AINetData(positions=pos, spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.asarray(atoms), charges=jnp.asarray(charges))
+
+    state = init(jax.random.fold_in(key, 2), data)
+    for i in range(30):
+        state = update(None, state, jax.random.fold_in(key, 3 + i))
+    rho = np.asarray(estimator(None, data, state))
+
+    assert rho.shape[0] == 2
+    for s in range(2):
+        np.testing.assert_allclose(rho[s, 0, 0], 1.0, atol=0.1)
+        assert abs(np.trace(rho[s]) - 1.0) < 0.15
+        offdiag = rho[s] - np.diag(np.diag(rho[s]))
+        assert np.max(np.abs(offdiag)) < 0.1
