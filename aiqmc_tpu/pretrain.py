@@ -149,6 +149,30 @@ def make_rhf_targets(atoms, charges, nspins: Tuple[int, int]) -> TargetOrbitals:
     return scf_lib.make_rhf_orbitals(result, nspins)
 
 
+def make_ecp_rhf_targets(atoms, z_eff, pp_cfg, nspins: Tuple[int, int],
+                         z_true=None) -> TargetOrbitals:
+    """Valence-only pretraining targets for pseudopotential systems: pseudo
+    RHF with the ccECP folded into hcore (utils/ecp_scf; the reference attaches
+    the ECP to the pyscf molecule, ferminet/base_config.py `use_pp`)."""
+    from aiqmc_tpu.utils import ecp_scf, scf as scf_lib
+    z_eff = np.asarray(z_eff, dtype=float)
+    if z_true is None:
+        # He-core ccECPs (Li..Ne): true Z = Z_eff + 2.
+        z_true = (z_eff + 2).astype(int)
+    nelectrons = sum(nspins)
+    n_rhf = nelectrons if nelectrons % 2 == 0 else nelectrons + 1
+    result = ecp_scf.run_rhf_ecp(
+        np.asarray(atoms), z_true, z_eff,
+        rn_local=np.asarray(pp_cfg.rn_local),
+        local_coes=np.asarray(pp_cfg.local_coes),
+        local_exps=np.asarray(pp_cfg.local_exps),
+        rn_non_local=np.asarray(pp_cfg.rn_non_local),
+        non_local_coes=np.asarray(pp_cfg.non_local_coes),
+        non_local_exps=np.asarray(pp_cfg.non_local_exps),
+        nelectrons=n_rhf, list_l=pp_cfg.list_l)
+    return scf_lib.make_rhf_orbitals(result, nspins)
+
+
 def pretrain_orbitals(network,
                       data: AINetData,
                       nspins: Tuple[int, int],
@@ -157,9 +181,11 @@ def pretrain_orbitals(network,
                       target_fn: Optional[TargetOrbitals] = None,
                       target: str = "rhf",
                       key: Optional[chex.PRNGKey] = None,
-                      params=None):
+                      params=None,
+                      pp_cfg=None):
     """Pretrains network orbitals (ref pretrain.py:230-311). Returns
-    (params, data). target: 'rhf' (STO-3G HF, default) or 'hydrogenic'."""
+    (params, data). target: 'rhf' (STO-3G HF, default) or 'hydrogenic'.
+    With pp_cfg set, 'rhf' targets come from the valence ECP-RHF."""
     if key is None:
         key = jax.random.PRNGKey(0)
     if params is None:
@@ -168,8 +194,14 @@ def pretrain_orbitals(network,
     if target_fn is None:
         if target == "rhf":
             try:
-                target_fn = make_rhf_targets(
-                    np.asarray(data.atoms), np.asarray(data.charges), nspins)
+                if pp_cfg is not None:
+                    target_fn = make_ecp_rhf_targets(
+                        np.asarray(data.atoms), np.asarray(data.charges),
+                        pp_cfg, nspins)
+                else:
+                    target_fn = make_rhf_targets(
+                        np.asarray(data.atoms), np.asarray(data.charges),
+                        nspins)
             except ValueError:
                 target_fn = None
         if target_fn is None:

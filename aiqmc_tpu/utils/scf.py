@@ -59,6 +59,21 @@ def run_rhf(atoms, charges, nelectrons: Optional[int] = None,
     eri = gto.eri_tensor(basis)
     hcore = T + V
 
+    e_elec, mo_coeff, mo_energy, converged = roothaan(
+        S, hcore, eri, nocc, max_iter=max_iter, tol=tol, damping=damping)
+    energy = e_elec + nuclear_repulsion(atoms, charges)
+    return RhfResult(energy=float(energy), mo_coeff=mo_coeff,
+                     mo_energy=mo_energy, nocc=nocc, basis=basis,
+                     converged=converged)
+
+
+def roothaan(S, hcore, eri, nocc: int, max_iter: int = 100, tol: float = 1e-8,
+             damping: float = 0.3):
+    """Closed-shell Roothaan SCF on prebuilt integrals.
+
+    Returns (e_elec, mo_coeff, mo_energy, converged). Factored out so the
+    valence-only ECP SCF (utils/ecp_scf.py) can reuse it with an ECP-dressed
+    hcore."""
     # Symmetric orthogonalisation.
     w, U = np.linalg.eigh(S)
     X = U @ np.diag(w ** -0.5) @ U.T
@@ -70,6 +85,7 @@ def run_rhf(atoms, charges, nelectrons: Optional[int] = None,
 
     D = np.zeros_like(S)
     e_old = 0.0
+    e_elec = 0.0
     converged = False
     mo_coeff = None
     mo_energy = None
@@ -88,11 +104,7 @@ def run_rhf(atoms, charges, nelectrons: Optional[int] = None,
             converged = True
             break
         e_old = e_elec
-
-    energy = e_elec + nuclear_repulsion(atoms, charges)
-    return RhfResult(energy=float(energy), mo_coeff=mo_coeff,
-                     mo_energy=mo_energy, nocc=nocc, basis=basis,
-                     converged=converged)
+    return e_elec, mo_coeff, mo_energy, converged
 
 
 def make_rhf_orbitals(result: RhfResult, nspins: Tuple[int, int]):

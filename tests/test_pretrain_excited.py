@@ -107,3 +107,44 @@ def test_pretrain_through_driver(tmp_path):
     cfg.log.save_frequency = 1e9
     r = train.train(cfg)
     assert np.all(np.isfinite(r.energies))
+
+
+def test_pretrain_valence_ecp_targets():
+    """ECP pretraining targets: pseudo-RHF orbitals drive the pretrain step."""
+    import jax
+    import jax.numpy as jnp
+    from aiqmc_tpu import pretrain as pretrain_lib
+    from aiqmc_tpu.configs import c_atom_ccecp
+    from aiqmc_tpu.models import network as nn, spin_indices
+    from aiqmc_tpu.models.network import AINetData
+
+    cfg = c_atom_ccecp.get_config()
+    spins = np.array(cfg.system.spins)
+    nel = spins.size
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nel)
+    up, down = spin_indices.spin_indices_h(spins)
+    net = nn.make_ai_net(
+        nspins=(2, 2), charges=jnp.asarray(cfg.system.charges),
+        parallel_indices=par, antiparallel_indices=anti,
+        spin_up_indices=up, spin_down_indices=down, n_parallel=n_par,
+        n_antiparallel=n_anti, ndim=3, natoms=1, nelectrons=nel,
+        full_equivariance=True, complex_orbitals=False, bounded_envelope=True,
+        regular_harmonics=True, hidden_dims=((8, 4), (8, 4)),
+        hidden_dims_Ynlm=(4, 4))
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (32, nel * 3))
+    data = AINetData(positions=pos, spins=jnp.asarray(spins),
+                     atoms=jnp.asarray(cfg.system.atoms),
+                     charges=jnp.asarray(cfg.system.charges))
+    params, data = pretrain_lib.pretrain_orbitals(
+        net, data, (2, 2), iterations=3, key=key, pp_cfg=cfg.system.pp)
+    flat = jax.tree_util.tree_leaves(params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+
+    # And the target factory itself produces the valence-RHF orbitals.
+    targets = pretrain_lib.make_ecp_rhf_targets(
+        np.asarray(cfg.system.atoms), np.asarray(cfg.system.charges),
+        cfg.system.pp, (2, 2))
+    phi_u, phi_d = targets(pos[0])
+    assert phi_u.shape == (2, 2) and phi_d.shape == (2, 2)
+    assert np.all(np.isfinite(np.asarray(phi_u)))
