@@ -156,3 +156,26 @@ def test_vmap_consistency():
     for b in range(8):
         _, log_b = net.apply(params, batch[b], spins, atoms, charges)
         np.testing.assert_allclose(float(logs[b]), float(log_b), rtol=1e-4)
+
+
+def test_bf16_matmul_option_close_to_f32():
+    """bfloat16 matmul inputs: finite outputs/grads, close to the f32 path."""
+    import jax
+    import jax.numpy as jnp
+    from aiqmc_tpu.models import blocks
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(6, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    y32 = blocks.linear_layer(x, w)
+    try:
+        blocks.set_matmul_dtype(jnp.bfloat16)
+        y16 = blocks.linear_layer(x, w)
+        g16 = jax.grad(lambda a: jnp.sum(blocks.linear_layer(a, w) ** 2))(x)
+    finally:
+        blocks.set_matmul_dtype(None)
+    assert y16.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(y16)))
+    assert np.all(np.isfinite(np.asarray(g16)))
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               rtol=3e-2, atol=3e-2)
