@@ -189,6 +189,11 @@ def _build_mcmc(cfg, network, batch_size: int):
             f=network.apply, tstep=cfg.mcmc.tstep, ndim=cfg.system.ndim,
             nelectrons=nelectrons, nsteps=cfg.mcmc.steps, batch_size=batch_size,
             lattice=lattice)
+    if cfg.mcmc.algorithm == "mala":
+        from aiqmc_tpu.sampling import mala
+        logabs = lambda p, x, s, a, c: network.apply(p, x, s, a, c)[1]
+        return mala.make_mala_step(logabs, tstep=cfg.mcmc.tstep,
+                                   steps=cfg.mcmc.steps, lattice=lattice)
     batch_network = jax.vmap(
         lambda p, x, s, a, c: network.apply(p, x, s, a, c)[1],
         in_axes=(None, 0, None, None, None))

@@ -63,3 +63,56 @@ def test_random_walk_preserves_gaussian():
     var = np.var(np.concatenate(samples, axis=0))
     np.testing.assert_allclose(var, 0.5, rtol=0.08)
     assert 0.2 < float(pmove) < 0.95
+
+
+def test_mala_stationary_distribution_analytic():
+    """MALA must sample |psi|^2 for psi=e^{-2(r1+r2)}: <r^2> = 3/4 exactly."""
+    import jax
+    import jax.numpy as jnp
+    from aiqmc_tpu.sampling import mala
+    from aiqmc_tpu.models.network import AINetData
+
+    def logabs(params, pos, spins, atoms, charges):
+        x = pos.reshape(2, 3)
+        return -2.0 * jnp.sum(jnp.linalg.norm(x, axis=-1))
+
+    batch = 1024
+    key = jax.random.PRNGKey(0)
+    pos = 0.5 * jax.random.normal(key, (batch, 6))
+    data = AINetData(positions=pos, spins=jnp.array([1., -1.]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    step = jax.jit(mala.make_mala_step(logabs, tstep=0.05, steps=40))
+    pmoves = []
+    for i in range(12):
+        data, pmove = step(None, data, jax.random.fold_in(key, i))
+        pmoves.append(float(pmove))
+    assert pmoves[-1] > 0.4, f"MALA acceptance collapsed: {pmoves}"
+    r2 = np.asarray(data.positions).reshape(batch * 2, 3)
+    r2 = np.sum(r2 * r2, axis=-1)
+    sem = r2.std() / np.sqrt(batch)  # electrons within a walker correlate
+    # 1s with Z=2: <r^2> = 3/Z^2 = 0.75
+    assert abs(r2.mean() - 0.75) < max(5 * sem, 0.03), (
+        f"<r^2> = {r2.mean():.4f} +- {sem:.4f}, want 0.75")
+
+
+def test_mala_matches_random_walk_mean_energy():
+    """Cross-sampler check on a harmonic log|psi| (Gaussian |psi|^2)."""
+    import jax
+    import jax.numpy as jnp
+    from aiqmc_tpu.sampling import mala
+    from aiqmc_tpu.models.network import AINetData
+
+    def logabs(params, pos, spins, atoms, charges):
+        return -0.5 * jnp.sum(pos ** 2)  # |psi|^2 = N(0, 1/sqrt(2)) per coord
+
+    batch = 1024
+    key = jax.random.PRNGKey(3)
+    data = AINetData(positions=jax.random.normal(key, (batch, 6)),
+                     spins=jnp.array([1., -1.]), atoms=jnp.zeros((1, 3)),
+                     charges=jnp.array([2.0]))
+    step = jax.jit(mala.make_mala_step(logabs, tstep=0.1, steps=30))
+    for i in range(10):
+        data, _ = step(None, data, jax.random.fold_in(key, i))
+    var = np.asarray(data.positions).reshape(-1).var()
+    # |psi|^2 = exp(-sum x^2) -> each coordinate N(0, 0.5)
+    assert abs(var - 0.5) < 0.04, f"coordinate variance {var:.4f}, want 0.5"
