@@ -77,7 +77,7 @@ def default() -> ml_collections.ConfigDict:
             },
         },
         "mcmc": {
-            "algorithm": "drift_diffusion",  # drift_diffusion | random_walk
+            "algorithm": "drift_diffusion",  # drift_diffusion | random_walk | mala
             "tstep": 0.05,
             "steps": 10,
             "burn_in": 100,

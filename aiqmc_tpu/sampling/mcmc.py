@@ -35,9 +35,24 @@ def mh_update(logprob_fn, x1, lp1, key, width) -> Tuple[jnp.ndarray, jnp.ndarray
 
 
 def make_mcmc_step(batch_network, batch_per_device: int, steps: int = 10,
-                   lattice=None):
-    """Builds mcmc_step(params, data, key, width) -> (new_data, pmove)."""
+                   lattice=None, blocks: int = 1, nelectrons: int = None,
+                   ndim: int = 3):
+    """Builds mcmc_step(params, data, key, width) -> (new_data, pmove).
+
+    blocks > 1 splits the electrons into that many groups and proposes each
+    group's move separately within a step (ref ferminet/mcmc.py:151-218
+    mh_block_update) — cheaper mixing for large electron counts."""
     del batch_per_device
+    if blocks > 1 and nelectrons is None:
+        raise ValueError("blocks > 1 requires nelectrons")
+    if blocks > 1:
+        import numpy as np
+        masks = []
+        bounds = np.linspace(0, nelectrons, blocks + 1).astype(int)
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            m = np.zeros((nelectrons, ndim))
+            m[lo:hi] = 1.0
+            masks.append(jnp.asarray(m.reshape(-1)))
 
     def mcmc_step(params, data: AINetData, key: chex.PRNGKey, width):
         def logprob(x):
@@ -48,8 +63,23 @@ def make_mcmc_step(batch_network, batch_per_device: int, steps: int = 10,
 
         def body(i, carry):
             x, lp, key, acc = carry
-            key, subkey = jax.random.split(key)
-            x, lp, pmove = mh_update(logprob, x, lp, subkey, width)
+            if blocks > 1:
+                pmove = jnp.zeros(())
+                for mask in masks:
+                    key, subkey = jax.random.split(key)
+                    pk, ak = jax.random.split(subkey)
+                    x2 = x + width * mask[None] * jax.random.normal(
+                        pk, shape=x.shape)
+                    lp2 = logprob(x2)
+                    cond = ((lp2 - lp >
+                             jnp.log(jax.random.uniform(ak, shape=lp.shape)))
+                            | (~jnp.isfinite(lp) & jnp.isfinite(lp2)))
+                    x = jnp.where(cond[:, None], x2, x)
+                    lp = jnp.where(cond, lp2, lp)
+                    pmove += jnp.mean(cond.astype(x.dtype)) / blocks
+            else:
+                key, subkey = jax.random.split(key)
+                x, lp, pmove = mh_update(logprob, x, lp, subkey, width)
             return x, lp, key, acc + pmove
 
         x, _, _, acc = lax.fori_loop(

@@ -184,27 +184,26 @@ def _build_mcmc(cfg, network, batch_size: int):
                   * max(1, cfg.system.get("states", 0)))
     lattice = (jnp.asarray(cfg.system.structure)
                if cfg.system.get("pbc", False) else None)
+    # Uniform signature mc_step(params, data, key, width); only the
+    # random-walk sampler uses the (host-adapted) width argument.
     if cfg.mcmc.algorithm == "drift_diffusion":
-        return drift_diffusion.main_monte_carlo(
+        dd = drift_diffusion.main_monte_carlo(
             f=network.apply, tstep=cfg.mcmc.tstep, ndim=cfg.system.ndim,
             nelectrons=nelectrons, nsteps=cfg.mcmc.steps, batch_size=batch_size,
             lattice=lattice)
+        return lambda params, data, key, width: dd(params, data, key)
     if cfg.mcmc.algorithm == "mala":
         from aiqmc_tpu.sampling import mala
         logabs = lambda p, x, s, a, c: network.apply(p, x, s, a, c)[1]
-        return mala.make_mala_step(logabs, tstep=cfg.mcmc.tstep,
-                                   steps=cfg.mcmc.steps, lattice=lattice)
+        ml = mala.make_mala_step(logabs, tstep=cfg.mcmc.tstep,
+                                 steps=cfg.mcmc.steps, lattice=lattice)
+        return lambda params, data, key, width: ml(params, data, key)
     batch_network = jax.vmap(
         lambda p, x, s, a, c: network.apply(p, x, s, a, c)[1],
         in_axes=(None, 0, None, None, None))
-    step = rw_mcmc.make_mcmc_step(batch_network, batch_size,
-                                  steps=cfg.mcmc.steps, lattice=lattice)
-    width = cfg.mcmc.move_width
-
-    def mc_step(params, data, key):
-        return step(params, data, key, width)
-
-    return mc_step
+    return rw_mcmc.make_mcmc_step(
+        batch_network, batch_size, steps=cfg.mcmc.steps, lattice=lattice,
+        blocks=cfg.mcmc.get("blocks", 1), nelectrons=nelectrons)
 
 
 def make_learning_rate_schedule(cfg):
@@ -285,9 +284,9 @@ def make_training_components(cfg, network, batch_size: int,
             options=options,
             data_template=data_template)
 
-        def combined_step(params, opt_state, data, key):
+        def combined_step(params, opt_state, data, key, width):
             mcmc_key, loss_key = jax.random.split(key)
-            data, pmove = mc_step(params, data, mcmc_key)
+            data, pmove = mc_step(params, data, mcmc_key, width)
             params, opt_state, loss_val, aux = kfac_step(
                 params, opt_state, loss_key, data)
             return (params, opt_state, data, loss_val,
@@ -301,9 +300,9 @@ def make_training_components(cfg, network, batch_size: int,
             del params
             return ()
 
-        def combined_step_none(params, opt_state, data, key):
+        def combined_step_none(params, opt_state, data, key, width):
             mcmc_key, loss_key = jax.random.split(key)
-            data, pmove = mc_step(params, data, mcmc_key)
+            data, pmove = mc_step(params, data, mcmc_key, width)
             loss_val, aux = evaluate_loss(params, loss_key, data)
             return (params, opt_state, data, loss_val,
                     _step_stats(aux), pmove)
@@ -318,9 +317,9 @@ def make_training_components(cfg, network, batch_size: int,
     opt_step = adam_lib.make_training_step(
         adam_lib.make_opt_update_step(evaluate_loss, optimizer))
 
-    def combined_step(params, opt_state, data, key):
+    def combined_step(params, opt_state, data, key, width):
         mcmc_key, loss_key = jax.random.split(key)
-        data, pmove = mc_step(params, data, mcmc_key)
+        data, pmove = mc_step(params, data, mcmc_key, width)
         data, params, opt_state, loss_val, aux = opt_step(
             data, params, opt_state, loss_key)
         return (params, opt_state, data, loss_val,
@@ -423,13 +422,18 @@ def train(cfg: ml_collections.ConfigDict,
 
     jit_step = jax.jit(combined_step, donate_argnums=(1, 2))
 
+    # Adaptive proposal width for the random-walk sampler
+    # (ref ferminet/mcmc.py:293-327, train.py:862-894).
+    mcmc_width = jnp.asarray(float(cfg.mcmc.move_width))
+    pmoves_buf = np.zeros(cfg.mcmc.adapt_frequency)
+
     # Burn-in: MCMC only (ref ferminet/train.py:820-838 pattern).
     if cfg.mcmc.burn_in > 0:
         jit_mc = jax.jit(mc_step, donate_argnums=(1,))
         burn_per_call = max(1, cfg.mcmc.burn_in // max(1, cfg.mcmc.steps))
         for _ in range(burn_per_call):
             key, subkey = jax.random.split(key)
-            data, _ = jit_mc(params, data, subkey)
+            data, _ = jit_mc(params, data, subkey, mcmc_width)
 
     # Optional observables (ref ferminet/train.py:599-641 wiring).
     obs_fns = {}
@@ -461,7 +465,12 @@ def train(cfg: ml_collections.ConfigDict,
         for t in range(t_init, t_init + cfg.optim.iterations):
             key, subkey = jax.random.split(key)
             params, opt_state, data, loss_val, stats, pmove = jit_step(
-                params, opt_state, data, subkey)
+                params, opt_state, data, subkey, mcmc_width)
+            if cfg.mcmc.algorithm == "random_walk":
+                new_width, pmoves_buf = rw_mcmc.update_mcmc_width(
+                    t - t_init, float(mcmc_width), cfg.mcmc.adapt_frequency,
+                    float(np.asarray(pmove)), pmoves_buf)
+                mcmc_width = jnp.asarray(new_width)
             loss_host = float(np.asarray(jax.device_get(loss_val)).real)
             energies.append(loss_host)
             if np.isfinite(loss_host):

@@ -77,16 +77,19 @@ def build_step(batch):
 
 def measure(batch, warmup, timed):
     import jax
+    import jax.numpy as jnp
     jax_mod, step, params, opt_state, data = build_step(batch)
     key = jax.random.PRNGKey(1)
     for i in range(warmup):
         key, sub = jax.random.split(key)
-        params, opt_state, data, loss, var, pmove = step(params, opt_state, data, sub)
+        params, opt_state, data, loss, var, pmove = step(
+            params, opt_state, data, sub, jnp.asarray(0.2))
     jax.block_until_ready(loss)
     start = time.perf_counter()
     for i in range(timed):
         key, sub = jax.random.split(key)
-        params, opt_state, data, loss, var, pmove = step(params, opt_state, data, sub)
+        params, opt_state, data, loss, var, pmove = step(
+            params, opt_state, data, sub, jnp.asarray(0.2))
     jax.block_until_ready(loss)
     elapsed = time.perf_counter() - start
     n_chips = jax.device_count()

@@ -116,3 +116,28 @@ def test_mala_matches_random_walk_mean_energy():
     var = np.asarray(data.positions).reshape(-1).var()
     # |psi|^2 = exp(-sum x^2) -> each coordinate N(0, 0.5)
     assert abs(var - 0.5) < 0.04, f"coordinate variance {var:.4f}, want 0.5"
+
+
+def test_block_moves_stationary_gaussian():
+    """blocks=2 RW sampler preserves the Gaussian |psi|^2 stationary law."""
+    import jax
+    import jax.numpy as jnp
+    from aiqmc_tpu.sampling import mcmc as rw
+    from aiqmc_tpu.models.network import AINetData
+
+    batch = 1024
+
+    def batch_network(params, x, spins, atoms, charges):
+        return -0.25 * jnp.sum(x ** 2, axis=-1)  # |psi|^2 ~ N(0, 1) per coord
+
+    step = jax.jit(rw.make_mcmc_step(batch_network, batch, steps=20, blocks=2,
+                                     nelectrons=2))
+    key = jax.random.PRNGKey(0)
+    data = AINetData(positions=jax.random.normal(key, (batch, 6)) * 0.2,
+                     spins=jnp.array([1., -1.]), atoms=jnp.zeros((1, 3)),
+                     charges=jnp.array([2.0]))
+    for i in range(15):
+        data, pmove = step(None, data, jax.random.fold_in(key, i), 0.5)
+    var = np.asarray(data.positions).reshape(-1).var()
+    assert abs(var - 1.0) < 0.08, f"coordinate variance {var:.3f}, want 1.0"
+    assert 0.1 < float(pmove) < 1.0
