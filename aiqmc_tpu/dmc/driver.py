@@ -118,7 +118,9 @@ def main(atoms,
     def _maybe(x):
         return None if x is None else jnp.asarray(x)
 
-    dmc_run = jax.jit(dmc_propagate(
+    # NOT wrapped in an outer jit: dmc_propagate dispatches its
+    # stages as separate compiled programs (see dmc/propagate.py).
+    dmc_run = (dmc_propagate(
         signed_network=signed_network, log_network=None, logabs_f=None,
         list_l=list_l, nelectrons=nelectrons, natoms=natoms, ndim=ndim,
         batch_size=batch_size, tstep=tstep, nsteps=nsteps,

@@ -1,8 +1,18 @@
 """One DMC propagation step: T-moves -> drift-diffusion -> reweighting.
 
-Capability parity with ref ``AIQMCrelease3/DMC/dmc.py:13-93``; everything runs in
-one jitted global-batch computation (the reference pmap-dispatches four separate
-device programs per step: tmoves, drift-diffusion, and two energy evaluations).
+Capability parity with ref ``AIQMCrelease3/DMC/dmc.py:13-93``.
+
+Program structure: the step dispatches THREE compiled programs per iteration —
+(1) T-moves + drift-diffusion, (2) one local-energy evaluator invoked at the
+pre- and post-move positions, (3) the elementwise S-matrix reweighting. An
+earlier all-in-one-program variant was bisected to produce deterministic,
+program-shape-dependent local-energy corruption (per-walker errors up to
+~100 Ha) on the axon TPU backend: the SAME positions evaluated by the same
+``total_e`` gave different values inside the fused program than standalone,
+for both Laplacian methods. Splitting keeps every energy evaluation in the
+single-program shape that validates against physics oracles, and matches the
+reference's own dispatch granularity (ref DMC/dmc.py:42-83 runs tmoves,
+drift-diffusion and the two energy evaluations as separate pmaps).
 """
 
 from __future__ import annotations
@@ -94,6 +104,36 @@ def dmc_propagate(signed_network,
             laplacian_chunk=laplacian_chunk)
     total_e = calculate_total_energy(localenergy)
 
+    def move_walkers(params, key: chex.PRNGKey, data: AINetData):
+        """Program 1: T-moves + drift-diffusion. Returns the post-T-move data
+        (where the old-side S-matrix energy is defined, ref DMC/dmc.py:42-51),
+        the moved data, acceptance damping and limited drifts."""
+        key, tmove_key, dd_key = jax.random.split(key, num=3)
+        if tmove is not None:
+            tmove_keys = jax.random.split(tmove_key, num=batch_size)
+            pos, _ = jax.vmap(tmove, in_axes=(
+                AINetData(positions=0, spins=None, atoms=None, charges=None),
+                None, 0))(data, params, tmove_keys)
+            data = AINetData(**(dict(data) | {"positions": pos}))
+        new_data, _, tdamp, v_old, v_new = drift_diffusion(params, dd_key, data)
+        return data, new_data, tdamp, v_old, v_new
+
+    def reweight(weights, tdamp, v_old, v_new, eloc_old, eloc_new,
+                 branchcut_start, e_trial, e_est):
+        """Program 3: S-matrix weight multiplier (ref DMC/dmc.py:86-92)."""
+        s_old = comput_S(e_trial=e_trial, e_est=e_est,
+                         branchcut=branchcut_start, v2=jnp.square(v_old),
+                         tau=tstep, eloc=eloc_old, nelec=nelectrons)
+        s_new = comput_S(e_trial=e_trial, e_est=e_est,
+                         branchcut=branchcut_start, v2=jnp.square(v_new),
+                         tau=tstep, eloc=eloc_new, nelec=nelectrons)
+        wmult = jnp.exp(tstep * tdamp * (0.5 * s_new + 0.5 * s_old))
+        return wmult * weights
+
+    jit_move = jax.jit(move_walkers)
+    jit_energy = jax.jit(total_e)
+    jit_reweight = jax.jit(reweight)
+
     def dmc_propagate_run(params,
                           key: chex.PRNGKey,
                           data: AINetData,
@@ -101,25 +141,13 @@ def dmc_propagate(signed_network,
                           branchcut_start,
                           e_trial,
                           e_est):
-        key, tmove_key, dd_key, e_key = jax.random.split(key, num=4)
-        if tmove is not None:
-            tmove_keys = jax.random.split(tmove_key, num=batch_size)
-            pos, _ = jax.vmap(tmove, in_axes=(
-                AINetData(positions=0, spins=None, atoms=None, charges=None),
-                None, 0))(data, params, tmove_keys)
-            data = AINetData(**(dict(data) | {"positions": pos}))
-
-        new_data, _, tdamp, v_old, v_new = drift_diffusion(params, dd_key, data)
-        eloc_old, _ = total_e(params, e_key, data)
-        eloc_new, _ = total_e(params, e_key, new_data)
-        s_old = comput_S(e_trial=e_trial, e_est=e_est, branchcut=branchcut_start,
-                         v2=jnp.square(v_old), tau=tstep, eloc=eloc_old,
-                         nelec=nelectrons)
-        s_new = comput_S(e_trial=e_trial, e_est=e_est, branchcut=branchcut_start,
-                         v2=jnp.square(v_new), tau=tstep, eloc=eloc_new,
-                         nelec=nelectrons)
-        wmult = jnp.exp(tstep * tdamp * (0.5 * s_new + 0.5 * s_old))
-        weights = wmult * weights
+        key, move_key, e_key = jax.random.split(key, num=3)
+        data_tm, new_data, tdamp, v_old, v_new = jit_move(params, move_key,
+                                                          data)
+        eloc_old, _ = jit_energy(params, e_key, data_tm)
+        eloc_new, _ = jit_energy(params, e_key, new_data)
+        weights = jit_reweight(weights, tdamp, v_old, v_new, eloc_old,
+                               eloc_new, branchcut_start, e_trial, e_est)
         return eloc_new, weights, new_data
 
     return dmc_propagate_run

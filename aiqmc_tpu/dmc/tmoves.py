@@ -93,18 +93,32 @@ def compute_tmoves(list_l: int,
         t_amp = jnp.einsum("ial,liaq->iaq", wfac, p_l) * ratio_re
         t_amp = jnp.maximum(t_amp, 0.0) * base_weights[None, None, :]
 
-        # Per-electron heat-bath CDF over {stay} + natoms*nq moves.
+        # Per-electron heat-bath over {stay} + natoms*nq moves, factorised as
+        # (Bernoulli move decision) x (categorical target). A single CDF over
+        # [1, t_1, t_2, ...] is numerically treacherous in f32: with
+        # sum(t) << 1 every cumulative entry sits within machine epsilon of
+        # 1.0, the per-target increments vanish in the rounding, and a uniform
+        # draw that lands past the "stay" entry picks an essentially uniform
+        # target — including zero-amplitude ones across the node (observed as
+        # a catastrophic energy bias on the TPU backend, where the cumsum
+        # rounds differently than on CPU). The factorised form keeps both
+        # stages well-conditioned: p_move = sum(t)/(1+sum(t)) is exact in f32
+        # relative terms, and the target categorical works on log-amplitudes.
         flat_amp = t_amp.reshape(nelectrons, natoms * nq)
-        norm = 1.0 + jnp.sum(flat_amp, axis=-1, keepdims=True)
-        table = jnp.concatenate([jnp.ones((nelectrons, 1)), flat_amp], axis=-1)
-        cdf = jnp.cumsum(table / norm, axis=-1)
-        r = jax.random.uniform(select_key, shape=(nelectrons, 1))
-        selected = jnp.sum((cdf < r).astype(jnp.int32), axis=-1)  # (nelec,)
-        # 0 => stay; k>0 => move k-1 of the flattened (atom, point) grid.
-        move_idx = jnp.maximum(selected - 1, 0)
+        sum_t = jnp.sum(flat_amp, axis=-1)
+        p_move = sum_t / (1.0 + sum_t)
+        move_key, target_key = jax.random.split(select_key)
+        moved = jax.random.uniform(move_key, (nelectrons,)) < p_move
+        logits = jnp.where(flat_amp > 0.0,
+                           jnp.log(jnp.maximum(flat_amp, 1e-38)), -jnp.inf)
+        # Guard all-zero rows (categorical over all -inf) with a flat dummy.
+        any_pos = sum_t > 0.0
+        safe_logits = jnp.where(any_pos[:, None], logits,
+                                jnp.zeros_like(logits))
+        move_idx = jax.random.categorical(target_key, safe_logits, axis=-1)
+        moved = moved & any_pos
         candidates = new_e.reshape(nelectrons, natoms * nq, ndim)
         chosen = candidates[jnp.arange(nelectrons), move_idx]
-        moved = selected > 0
         x_new = jnp.where(moved[:, None], chosen, x)
         return x_new.reshape(-1), moved
 

@@ -18,11 +18,12 @@ restore = sys.argv[1]
 nblocks = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 iters = int(sys.argv[3]) if len(sys.argv) > 3 else 40
 save = sys.argv[4] if len(sys.argv) > 4 else "/tmp/c_ccecp_dmc"
+tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
 
 energies, data, weights = driver.main(
     atoms=np.zeros((1, 3)), charges=np.array([4.0]),
     spins=np.array([1.0, 1.0, 1.0, -1.0]),
-    tstep=0.02, nelectrons=4, nsteps=10, natoms=1, ndim=3,
+    tstep=tstep, nelectrons=4, nsteps=10, natoms=1, ndim=3,
     batch_size=2048, iterations=iters, nblocks=nblocks, feedback=1.0,
     nspins=(3, 1), save_path=save, restore_path=restore,
     Rn_local=c.RN_LOCAL, Local_coes=c.LOCAL_COES, Local_exps=c.LOCAL_EXPS,

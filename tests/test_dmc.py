@@ -121,7 +121,7 @@ def test_dmc_projects_hydrogen_to_exact():
         return jnp.ones(()), -alpha * jnp.linalg.norm(pos)
 
     batch, tstep = 512, 0.03
-    run = jax.jit(dmc_propagate(
+    run = (dmc_propagate(
         signed_network=psi, log_network=None, logabs_f=None, list_l=0,
         nelectrons=1, natoms=1, ndim=3, batch_size=batch, tstep=tstep,
         nsteps=1, charges=jnp.array([1.0]), spins=(1, 0), Rn_local=None,
@@ -151,3 +151,51 @@ def test_dmc_projects_hydrogen_to_exact():
     tail = np.mean(es[-80:])
     assert abs(float(e0) + 0.48) < 0.02  # wrong trial starts near -0.48
     np.testing.assert_allclose(tail, -0.5, atol=0.015)
+
+
+def test_tmove_heatbath_statistics():
+    """Empirical T-move frequency matches the analytic heat-bath probability.
+
+    Toy: one electron, one atom, nodeless s-trial psi = e^{-r}. For a
+    repulsive channel (v>0) amplitudes need ratio<0 -> NO moves ever; for an
+    attractive channel (v<0) p_move = sum(t)/(1+sum(t)) with
+    t_q = (e^{-tau v}-1) w_q psi(x_q')/psi(x) all positive and computable in
+    closed form from the quadrature.
+    """
+    import jax
+    import jax.numpy as jnp
+    from aiqmc_tpu.dmc import tmoves as tm
+    from aiqmc_tpu.hamiltonian import ecp
+    from aiqmc_tpu.models.network import AINetData
+
+    def signed_network(params, pos, spins, atoms, charges):
+        r = jnp.linalg.norm(pos.reshape(1, 3), axis=-1)[0]
+        return jnp.ones(()), -r
+
+    pos = jnp.asarray([0.9, 0.0, 0.0])
+    data = AINetData(positions=pos, spins=jnp.array([1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([1.0]))
+    tau, v0 = 0.05, -3.0
+    mk = lambda coe: tm.compute_tmoves(
+        list_l=0, tstep=tau, nelectrons=1, natoms=1, ndim=3,
+        signed_network=signed_network,
+        Rn_non_local=np.array([[[2.0]]]),
+        Non_local_coes=np.array([[[coe]]]),
+        Non_local_exps=np.array([[[0.0]]]))
+
+    # Repulsive channel: ratio>0 everywhere (nodeless) -> never move.
+    tmove_rep = mk(+3.0)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2000)
+    _, moved = jax.vmap(lambda k: tmove_rep(data, None, k))(keys)
+    assert not np.any(np.asarray(moved))
+
+    # Attractive channel: p_move analytic. The rotated quadrature's weights
+    # sum to 1 and |x_q'| = r for every point, so t_q = (e^{-tau v}-1) w_q
+    # e^{-(|x_q'| - r)} = (e^{-tau v}-1) w_q exactly, sum(t) = e^{-tau v} - 1.
+    tmove_att = mk(v0)
+    _, moved = jax.vmap(lambda k: tmove_att(data, None, k))(keys)
+    frac = float(np.asarray(moved).mean())
+    sum_t = np.exp(-tau * v0) - 1.0
+    p_want = sum_t / (1.0 + sum_t)
+    sem = np.sqrt(p_want * (1 - p_want) / len(keys))
+    assert abs(frac - p_want) < 5 * sem, (frac, p_want)
