@@ -18,7 +18,7 @@ def default() -> ml_collections.ConfigDict:
         "batch_size": 256,             # global walker count across all chips
         "optim": {
             "iterations": 100,
-            "optimizer": "adam",        # adam | kfac | none
+            "optimizer": "adam",        # adam | lamb | kfac | none
             # rate / (1 + t/delay)^decay. NOTE: the reference hardcodes
             # delay=1.0, decay=10000 (main_pp_adam_muti_GPU.py:158-159), which
             # collapses the LR to 0.5^10000 = 0 after the first step — training
@@ -60,11 +60,15 @@ def default() -> ml_collections.ConfigDict:
             "bias_orbitals": True,
             "rescale_inputs": False,
             "complex_orbitals": False,  # TPU backend lacks complex64; see models.network
+        "complex_pairs": False,     # complex orbitals as (re, im) real pairs — the
+                                    # TPU-safe complex path (no complex dtype anywhere)
             "full_equivariance": True,  # exactly antisymmetric variant
             "bounded_envelope": True,   # decaying-everywhere envelope (see models.envelope)
             "regular_harmonics": True,  # smooth solid harmonics (see models.harmonics)
             "envelope_type": "pp_like", # pp_like | isotropic | diagonal | full | sto | sto_poly | null
             "use_schnet": False,        # SchNet-style two-electron convolutions
+        "h_stream": "ainet",        # ainet (conv-reduce, ref nn.py:294-300) |
+                                    # ferminet (full linear on symmetric features)
             "jastrow_scale": None,      # None = 1/nelectrons (exact at det level)
             "matmul_dtype": "float32",  # float32 | bfloat16 (h-stream matmuls)
             "network_type": "ainet",    # ainet | psiformer

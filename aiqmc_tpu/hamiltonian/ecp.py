@@ -169,7 +169,8 @@ def make_nonlocal_pp_energy(signed_network,
                             non_local_coefficient: jnp.ndarray,
                             non_local_exponent: jnp.ndarray,
                             complex_output: bool = False,
-                            reference_compat: bool = False) -> Callable:
+                            reference_compat: bool = False,
+                            pair_output: bool = False) -> Callable:
     """Nonlocal ECP energy for one walker: one batched psi-ratio evaluation.
 
     E_nl = sum_{i,a,l} (2l+1) v_l(r_ia) sum_q w_q P_l(cos theta_q) psi(x')/psi(x)
@@ -242,7 +243,10 @@ def make_nonlocal_pp_energy(signed_network,
         e_re = jnp.sum(v_l * proj_re)
         if complex_output:
             proj_im = jnp.einsum("q,liaq,iaq->ial", base_weights, p_l, ratio_im)
-            return e_re + 1.0j * jnp.sum(v_l * proj_im)
+            e_im = jnp.sum(v_l * proj_im)
+            if pair_output:
+                return jnp.stack([e_re, e_im])
+            return e_re + 1.0j * e_im
         return e_re
 
     return nonlocal_energy

@@ -26,7 +26,8 @@ from aiqmc_tpu.utils.utils import select_output
 def local_kinetic_energy(f,
                          use_scan: bool = False,
                          complex_output: bool = True,
-                         laplacian_chunk: Optional[int] = None) -> Callable:
+                         laplacian_chunk: Optional[int] = None,
+                         pair_output: bool = False) -> Callable:
     """Returns ke(params, data) evaluating -1/2 del^2 ln|f| (+ phase terms).
 
     Args:
@@ -36,6 +37,8 @@ def local_kinetic_energy(f,
         chunks via ``lax.map`` to bound activation memory.
       complex_output: include the phase-gradient terms (ref hamiltonian.py:111-130).
       laplacian_chunk: number of coordinates per chunk; None = all 3N at once.
+      pair_output: with complex_output, return the complex kinetic energy as a
+        stacked real pair [Re, Im] instead of a complex scalar (TPU-safe).
     """
     phase_f = select_output(f, 0)
     logabs_f = select_output(f, 1)
@@ -60,8 +63,12 @@ def local_kinetic_energy(f,
             phase_primal, dgrad_phase = jax.linearize(
                 grad_phase_closure, data.positions)
 
-            def hess_diag(i, v):
-                return dgrad_f(v)[i] + 1.0j * dgrad_phase(v)[i]
+            if pair_output:
+                def hess_diag(i, v):
+                    return jnp.stack([dgrad_f(v)[i], dgrad_phase(v)[i]])
+            else:
+                def hess_diag(i, v):
+                    return dgrad_f(v)[i] + 1.0j * dgrad_phase(v)[i]
         else:
             phase_primal = None
 
@@ -75,6 +82,14 @@ def local_kinetic_energy(f,
                 lambda args: hess_diag(*args), (idx, eye), batch_size=chunk)
         else:
             diagonal = jax.vmap(hess_diag)(idx, eye)
+        if complex_output and pair_output:
+            # diagonal: (n, 2) stacked [d2 log|psi|, d2 phase] rows.
+            re = (-0.5 * jnp.sum(diagonal[:, 0])
+                  - 0.5 * jnp.sum(primal ** 2)
+                  + 0.5 * jnp.sum(phase_primal ** 2))
+            im = (-0.5 * jnp.sum(diagonal[:, 1])
+                  - jnp.sum(primal * phase_primal))
+            return jnp.stack([re, im])
         result = -0.5 * jnp.sum(diagonal)
         result -= 0.5 * jnp.sum(primal ** 2)
         if complex_output:

@@ -19,12 +19,15 @@ def local_energy(f,
                  complex_output: bool = False,
                  laplacian_chunk: Optional[int] = None,
                  laplacian_method: str = "default",
-                 orbitals_fn=None):
+                 orbitals_fn=None,
+                 pair_output: bool = False):
     """Builds e_l(params, key, data) -> (E_L, energy_mat) for molecules.
 
     laplacian_method: 'default' (batched forward-over-reverse tangents) or
     'forward' (one-pass forward Laplacian, ops/forward_laplacian.py; requires
     orbitals_fn and a real wavefunction; ~2x fewer FLOPs).
+    pair_output: with complex_output, E_L is returned as a stacked real pair
+    [Re, Im] (TPU-safe; no complex dtype).
     """
     del nspins
     if laplacian_method == "forward":
@@ -36,13 +39,16 @@ def local_energy(f,
     else:
         ke = local_kinetic_energy(f, use_scan=use_scan,
                                   complex_output=complex_output,
-                                  laplacian_chunk=laplacian_chunk)
+                                  laplacian_chunk=laplacian_chunk,
+                                  pair_output=pair_output)
 
     def _e_l(params, key: chex.PRNGKey, data) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         del key
         _, _, r_ae, r_ee = construct_input_features(data.positions, data.atoms)
         potential = coulomb.potential_energy(r_ae, r_ee, data.atoms, charges)
         kinetic = ke(params, data)
+        if complex_output and pair_output:
+            return kinetic + jnp.stack([potential, jnp.zeros_like(potential)]), None
         return potential + kinetic, None
 
     return _e_l

@@ -35,7 +35,8 @@ def local_energy(f,
                  laplacian_chunk: Optional[int] = None,
                  reference_compat: bool = False,
                  laplacian_method: str = "default",
-                 orbitals_fn=None):
+                 orbitals_fn=None,
+                 pair_output: bool = False):
     """Builds e_l(params, key, data) for ccECP systems (ref pphamiltonian.py:130-190).
 
     ``lognetwork`` is accepted for reference API parity but the psi-ratio path
@@ -51,7 +52,8 @@ def local_energy(f,
     else:
         ke = local_kinetic_energy(f, use_scan=use_scan,
                                   complex_output=complex_output,
-                                  laplacian_chunk=laplacian_chunk)
+                                  laplacian_chunk=laplacian_chunk,
+                                  pair_output=pair_output)
     get_local = ecp.local_pp_energy(
         nelectrons=nelectrons, natoms=natoms, ndim=ndim, rn_local=rn_local,
         local_coefficient=local_coes, local_exponent=local_exps)
@@ -59,7 +61,8 @@ def local_energy(f,
         signed_network=f, nelectrons=nelectrons, natoms=natoms, ndim=ndim,
         list_l=list_l, rn_non_local=rn_non_local,
         non_local_coefficient=non_local_coes, non_local_exponent=non_local_exps,
-        complex_output=complex_output, reference_compat=reference_compat)
+        complex_output=complex_output, reference_compat=reference_compat,
+        pair_output=pair_output)
 
     def _e_l(params, key: chex.PRNGKey, data
              ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
@@ -69,6 +72,10 @@ def local_energy(f,
         kinetic = ke(params, data)
         pp_local = jnp.sum(get_local(data))
         pp_nonlocal = nonlocal_energy(params, key, data)
+        if complex_output and pair_output:
+            real = potential + pp_local
+            return (kinetic + pp_nonlocal
+                    + jnp.stack([real, jnp.zeros_like(real)])), None
         return potential + kinetic + pp_local + pp_nonlocal, None
 
     return _e_l

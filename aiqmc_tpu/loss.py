@@ -39,14 +39,29 @@ def clip_local_values(local_values: jnp.ndarray,
                       clip_scale: float,
                       clip_from_median: bool,
                       center_at_clipped_value: bool,
-                      complex_output: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Total-variation clipping of local operator values (ref loss.py:73-135)."""
+                      complex_output: bool = False,
+                      pair_output: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Total-variation clipping of local operator values (ref loss.py:73-135).
 
-    batch_mean = lambda values: jnp.mean(values)
+    pair_output: local_values is (batch, 2) [Re, Im] columns (TPU-safe complex
+    representation); each component is clipped like the complex path does.
+    """
+
+    batch_mean = lambda values: jnp.mean(values, axis=0)
 
     def clip_at_total_variation(values, center, scale):
         tv = batch_mean(jnp.abs(values - center))
         return jnp.clip(values, center - scale * tv, center + scale * tv)
+
+    if pair_output:
+        if clip_from_median:
+            center = jnp.stack([jnp.median(local_values[:, 0]),
+                                jnp.mean(local_values[:, 1])])
+        else:
+            center = mean_local_values
+        clipped = clip_at_total_variation(local_values, center[None], clip_scale)
+        diff_center = batch_mean(clipped) if center_at_clipped_value else mean_local_values
+        return diff_center, clipped - diff_center[None]
 
     if clip_from_median:
         clip_center = jnp.median(local_values.real)
@@ -79,6 +94,12 @@ def _mask_nonfinite(e_l: jnp.ndarray) -> jnp.ndarray:
     """
     if jnp.iscomplexobj(e_l):
         finite = jnp.isfinite(e_l.real) & jnp.isfinite(e_l.imag)
+    elif e_l.ndim == 2:  # pair representation (batch, 2)
+        finite = jnp.all(jnp.isfinite(e_l), axis=-1, keepdims=True)
+        count = jnp.maximum(jnp.sum(finite), 1)
+        safe = jnp.where(finite, e_l, 0)
+        center = jnp.sum(safe, axis=0, keepdims=True) / count
+        return jnp.where(finite, e_l, center)
     else:
         finite = jnp.isfinite(e_l)
     count = jnp.maximum(jnp.sum(finite), 1)
@@ -93,9 +114,16 @@ def make_loss(network,
               clip_from_median: bool = True,
               center_at_clipped_energy: bool = True,
               complex_output: bool = False,
-              mask_nonfinite_energy: bool = True):
+              mask_nonfinite_energy: bool = True,
+              pair_output: bool = False):
     """Builds total_energy(params, key, data) -> (loss, AuxiliaryLossData)
-    with the unbiased custom-JVP gradient (ref loss.py:138-272)."""
+    with the unbiased custom-JVP gradient (ref loss.py:138-272).
+
+    pair_output: complex wavefunction carried in the TPU-safe (Re, Im) pair
+    representation — E_L arrives as (batch, 2) columns and ``network`` returns
+    the stacked [log|psi|, phase] pair; the gradient formula is the complex
+    one (ref loss.py:255-264) expanded into real arithmetic.
+    """
     batch_local_energy = jax.vmap(
         local_energy,
         in_axes=(None, 0, AINetData(positions=0, spins=None, atoms=None, charges=None)),
@@ -107,6 +135,16 @@ def make_loss(network,
         keys = jax.random.split(key, num=data.positions.shape[0])
         e_l, e_l_mat = batch_local_energy(params, keys, data)
         e_l_used = _mask_nonfinite(e_l) if mask_nonfinite_energy else e_l
+        if pair_output:
+            mean_pair = jnp.mean(e_l_used, axis=0)      # (2,) [Re, Im]
+            loss_diff = e_l_used - mean_pair[None]
+            variance = jnp.mean(jnp.sum(loss_diff * loss_diff, axis=-1))
+            return mean_pair[0], AuxiliaryLossData(
+                variance=variance,
+                local_energy=e_l_used,
+                clipped_energy=e_l_used,
+                grad_local_energy=None,
+                local_energy_mat=e_l_mat)
         loss = jnp.mean(e_l_used)
         loss_diff = e_l_used - loss
         variance = jnp.mean(loss_diff * jnp.conj(loss_diff))
@@ -122,7 +160,16 @@ def make_loss(network,
         params, key, data = primals
         loss, aux_data = total_energy(params, key, data)
 
-        if clip_local_energy > 0.0:
+        if pair_output:
+            mean_pair = jnp.mean(aux_data.local_energy, axis=0)
+            if clip_local_energy > 0.0:
+                aux_data.clipped_energy, diff = clip_local_values(
+                    aux_data.local_energy, mean_pair, clip_local_energy,
+                    clip_from_median, center_at_clipped_energy,
+                    complex_output, pair_output=True)
+            else:
+                diff = aux_data.local_energy - mean_pair[None]
+        elif clip_local_energy > 0.0:
             aux_data.clipped_energy, diff = clip_local_values(
                 aux_data.local_energy, loss, clip_local_energy, clip_from_median,
                 center_at_clipped_energy, complex_output)
@@ -138,7 +185,22 @@ def make_loss(network,
         psi_primal, psi_tangent = jax.jvp(batch_network, primals_net, tangents_net)
 
         device_batch_size = jnp.shape(aux_data.local_energy)[0]
-        if complex_output:
+        if pair_output:
+            # Complex gradient (ref loss.py:255-264) in real-pair arithmetic:
+            # term1 = 2 Re<clipped_el, conj(psi_t)>; Re term2 = <ce_r, pt_r>.
+            ce = aux_data.clipped_energy
+            ce = ce[None] if ce.ndim == 1 else ce       # scalar center or array
+            clipped_el = diff + ce                      # (batch, 2)
+            pt_r, pt_i = psi_tangent[:, 0], psi_tangent[:, 1]
+            term1 = 2.0 * (jnp.dot(clipped_el[:, 0], pt_r)
+                           + jnp.dot(clipped_el[:, 1], pt_i))
+            term2 = jnp.dot(ce[:, 0] if ce.shape[0] > 1 else
+                            jnp.broadcast_to(ce[:, 0], pt_r.shape), pt_r)
+            curvature.register_normal_predictive_distribution(
+                psi_primal[:, 0][:, None])
+            primals_out = loss, aux_data
+            tangents_out = ((term1 - 2.0 * term2) / device_batch_size, aux_data)
+        elif complex_output:
             clipped_el = diff + aux_data.clipped_energy
             term1 = (jnp.dot(clipped_el, jnp.conjugate(psi_tangent)) +
                      jnp.dot(jnp.conjugate(clipped_el), psi_tangent))

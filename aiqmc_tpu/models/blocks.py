@@ -182,3 +182,47 @@ def logdet_matmul(xs: Sequence[jnp.ndarray],
         phase_out = jnp.sign(result)
     log_out = jnp.log(jnp.abs(result)) + maxlogdet
     return phase_out, log_out
+
+
+def logdet_matmul_pair(xs: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+                       w: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``logdet_matmul`` for complex determinant matrices carried as (re, im)
+    real pairs — the TPU path for complex orbitals (ref nn.py:456,
+    network_blocks.py:161-206; this backend has no complex64).
+
+    Returns (phase angle, log|sum_i D_i|), matching the complex
+    ``logdet_matmul`` output up to the sign-vs-angle convention (always an
+    angle here).
+    """
+    from aiqmc_tpu.ops import slogdet as fast_slogdet
+
+    # 1x1 determinants multiply in as complex scalars.
+    det1_r, det1_i = None, None
+    for xr, xi in xs:
+        if xr.shape[-1] == 1:
+            r, i = xr.reshape(-1), xi.reshape(-1)
+            if det1_r is None:
+                det1_r, det1_i = r, i
+            else:
+                det1_r, det1_i = det1_r * r - det1_i * i, det1_r * i + det1_i * r
+    cos, sin, logdet = None, None, 0
+    for xr, xi in xs:
+        if xr.shape[-1] > 1:
+            c, s, ld = fast_slogdet.slogdet_pair(xr, xi)
+            if cos is None:
+                cos, sin, logdet = c, s, ld
+            else:
+                cos, sin, logdet = cos * c - sin * s, cos * s + sin * c, logdet + ld
+    maxlogdet = jnp.max(logdet)
+    scale = jnp.exp(logdet - maxlogdet)
+    det_r, det_i = cos * scale, sin * scale
+    if det1_r is not None:
+        det_r, det_i = det_r * det1_r - det_i * det1_i, det_r * det1_i + det_i * det1_r
+    if w is None:
+        res_r, res_i = jnp.sum(det_r), jnp.sum(det_i)
+    else:
+        res_r, res_i = jnp.matmul(det_r, w)[0], jnp.matmul(det_i, w)[0]
+    phase_out = jnp.arctan2(res_i, res_r)
+    log_out = 0.5 * jnp.log(res_r * res_r + res_i * res_i) + maxlogdet
+    return phase_out, log_out

@@ -29,6 +29,7 @@ class EnvelopeType(enum.Enum):
     STO = enum.auto()
     STO_POLY = enum.auto()
     NULL = enum.auto()
+    MULTIWAVE = enum.auto()    # periodic Bloch-wave envelope (pbc)
 
 
 def make_isotropic_envelope():
@@ -119,6 +120,33 @@ def make_sto_poly_envelope(degree: int = 3):
     return init, apply
 
 
+def make_multiwave_envelope(kpoints):
+    """Truncated Fourier series per atom (ref ferminet/pbc/envelopes.py:31-77).
+
+    sum_a sum_i sigma_{2i}^2 cos(k_i . ae_a) + sigma_{2i+1}^2 sin(k_i . ae_a),
+    with the first (k=0 cosine) coefficient initialised to 1 and the rest to 0
+    so the envelope starts at unity. kpoints: (nk, ndim) Cartesian reciprocal
+    vectors (see pbc.kpoints.make_envelope_kpoints). TPU-safe: real cos/sin
+    pairs, no complex64.
+    """
+    kpoints = jnp.asarray(kpoints)
+
+    def init(natom: int, norb: int, ndim: int = 3) -> Mapping:
+        del natom, ndim
+        nk = kpoints.shape[0]
+        sigma = jnp.zeros((2 * nk, norb)).at[0, :].set(1.0)
+        return {"sigma": sigma}
+
+    def apply(r_ae, ae, params):
+        del r_ae
+        phase = ae @ kpoints.T  # (nelec, natoms, nk)
+        waves = jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=2)
+        env = waves @ (params["sigma"] ** 2.0)  # (nelec, natoms, norb)
+        return jnp.sum(env, axis=1)
+
+    return init, apply
+
+
 def make_null_envelope():
     """No envelope (ref envelopes.py:220-236)."""
 
@@ -142,5 +170,6 @@ def get_envelope(envelope_type: EnvelopeType, **kwargs):
         EnvelopeType.STO: make_sto_envelope,
         EnvelopeType.STO_POLY: make_sto_poly_envelope,
         EnvelopeType.NULL: make_null_envelope,
+        EnvelopeType.MULTIWAVE: make_multiwave_envelope,
     }
     return builders[envelope_type](**kwargs)

@@ -111,8 +111,15 @@ def make_ai_net_layers(nspins: Tuple[int, int],
                        spin_down_indices: np.ndarray,
                        full_equivariance: bool = False,
                        regular_harmonics: bool = False,
-                       use_schnet: bool = False):
+                       use_schnet: bool = False,
+                       h_stream: str = "ainet"):
     """Dual-stream equivariant layers (ref nn.py:196-353).
+
+    ``h_stream`` selects the one-electron update: "ainet" is the reference's
+    grouped elementwise-reduce ("convolutional") layer followed by a linear
+    (ref nn.py:294-300), "ferminet" is the upstream full linear on the
+    concatenated symmetric features (ref ferminet/networks.py:676-774) — a
+    strictly more expressive update that the vendored FermiNet tree uses.
 
     The h-stream interleaves a grouped-reduce layer with a dense layer and a
     residual; the Y_nlm stream is a small residual MLP on spherical-harmonic
@@ -139,6 +146,23 @@ def make_ai_net_layers(nspins: Tuple[int, int],
                 nfeatures(dims_one_in, dims_two_in))
             dims_one_out, dims_two_out = hidden_dims[i]
             dims_y_out = hidden_dims_Ynlm[i]
+            if h_stream == "ferminet":
+                layer_params["single"] = network_blocks.init_linear_layer(
+                    single_key, in_dim=nfeatures(dims_one_in, dims_two_in),
+                    out_dim=dims_one_out, include_bias=True)
+                if i < len(hidden_dims) - 1:
+                    layer_params["double"] = network_blocks.init_linear_layer(
+                        double_key, in_dim=dims_two_in, out_dim=dims_two_out,
+                        include_bias=True)
+                layer_params_y["single_Ynlm"] = network_blocks.init_linear_layer(
+                    single_y_key, in_dim=dims_y_in, out_dim=dims_y_out,
+                    include_bias=True)
+                layers.append(layer_params)
+                layers_y.append(layer_params_y)
+                dims_one_in = dims_one_out
+                dims_two_in = dims_two_out
+                dims_y_in = dims_y_out
+                continue
             # Grouped-reduce weights: per-electron in reference mode, shared for
             # an exactly-antisymmetric ansatz (same 1/sqrt(nelec) scale).
             if full_equivariance:
@@ -188,6 +212,15 @@ def make_ai_net_layers(nspins: Tuple[int, int],
         h_one_in = construct_symmetric_features(
             h_one, h_two[0], spin_up_indices, spin_down_indices,
             schnet_params=params.get("schnet"))
+        if h_stream == "ferminet":
+            h_one_next = jnp.tanh(
+                network_blocks.linear_layer(h_one_in, **params["single"]))
+            h_one = _residual(h_one, h_one_next)
+            if "double" in params:
+                h_two_next = jnp.tanh(
+                    network_blocks.linear_layer(h_two[0], **params["double"]))
+                h_two = (_residual(h_two[0], h_two_next),)
+            return h_one, h_two
         conv = params["convolutional"]
         w = conv["w"]
         b = conv["b"]
@@ -253,10 +286,12 @@ def make_orbitals(nspins: Tuple[int, int],
                   bias_orbitals: bool = True,
                   full_equivariance: bool = False,
                   complex_orbitals: bool = True,
+                  complex_pairs: bool = False,
                   bounded_envelope: bool = False,
                   jastrow_scale: Optional[float] = None,
                   lattice: Optional[jnp.ndarray] = None,
-                  envelope_type: str = "pp_like"):
+                  envelope_type: str = "pp_like",
+                  envelope_kwargs: Optional[dict] = None):
     """(Complex) orbitals x envelope x Y-orbitals x Jastrows (ref nn.py:356-508)."""
     equivariant_layers_init, equivariant_layers_apply = equivariant_layers
     (jastrow_ee_init, jastrow_ee_apply, jastrow_ae_init, jastrow_ae_apply
@@ -267,7 +302,8 @@ def make_orbitals(nspins: Tuple[int, int],
     else:
         from aiqmc_tpu.models import envelopes_zoo
         envelope_init, envelope_apply = envelopes_zoo.get_envelope(
-            envelopes_zoo.EnvelopeType[envelope_type.upper()])
+            envelopes_zoo.EnvelopeType[envelope_type.upper()],
+            **(envelope_kwargs or {}))
 
     active_spin_channels = [spin for spin in nspins if spin > 0]
     natoms = charges.shape[0]
@@ -337,13 +373,22 @@ def make_orbitals(nspins: Tuple[int, int],
             h_sorted, network_blocks.array_partitions(channel_sizes), axis=0)
         orbitals = [network_blocks.linear_layer(h, **p)
                     for h, p in zip(h_channels, params["orbitals"])]
-        # Complex combine (ref nn.py:456); skipped in real mode.
+        # Complex combine (ref nn.py:456); skipped in real mode. In pair mode
+        # the (re, im) components ride a leading axis of size 2 through the
+        # (real-valued) envelope/Y/Jastrow factors — no complex dtype is ever
+        # created, so the same code runs on TPU backends without complex64.
         if complex_orbitals:
-            orbitals = [o[..., ::2] + 1.0j * o[..., 1::2] for o in orbitals]
-        # (nspin_ch, ndet * nelec) -> (ndet, nspin_ch, nelec), concat -> full det.
-        orbitals = [jnp.transpose(jnp.reshape(o, (o.shape[0], determinants, -1)),
-                                  (1, 0, 2)) for o in orbitals]
-        orbitals = jnp.concatenate(orbitals, axis=1)  # (ndet, nelec, nelec)
+            if complex_pairs:
+                orbitals = [jnp.stack([o[..., ::2], o[..., 1::2]])
+                            for o in orbitals]
+            else:
+                orbitals = [o[..., ::2] + 1.0j * o[..., 1::2] for o in orbitals]
+        # (..., nspin_ch, ndet * nelec) -> (..., ndet, nspin_ch, nelec),
+        # concat over spin channels -> full det.
+        orbitals = [jnp.swapaxes(
+            jnp.reshape(o, o.shape[:-1] + (determinants, -1)), -3, -2)
+            for o in orbitals]
+        orbitals = jnp.concatenate(orbitals, axis=-2)  # (..., ndet, nelec, nelec)
 
         # Y-stream orbital factor with row-normalised coefficients (ref nn.py:449-452).
         w_y = params["y"][0]["w"]
@@ -382,6 +427,8 @@ def make_orbitals(nspins: Tuple[int, int],
             jastrow_ae_apply(jnp.reshape(r_ae, (nelectrons, natoms)),
                              params["jastrow_ae"]) * scale)
         orbitals = orbitals * jastrow_ee * jastrow_ae
+        if complex_orbitals and complex_pairs:
+            return [(orbitals[0], orbitals[1])]
         return [orbitals]
 
     return init, apply
@@ -405,12 +452,15 @@ def make_ai_net(nspins: Tuple[int, int],
                 hidden_dims_Ynlm: Sequence[int] = (6, 6, 6),
                 full_equivariance: bool = False,
                 complex_orbitals: bool = True,
+                complex_pairs: bool = False,
                 bounded_envelope: bool = False,
                 jastrow_scale: Optional[float] = None,
                 regular_harmonics: bool = False,
                 lattice: Optional[jnp.ndarray] = None,
                 envelope_type: str = "pp_like",
-                use_schnet: bool = False) -> Network:
+                envelope_kwargs: Optional[dict] = None,
+                use_schnet: bool = False,
+                h_stream: str = "ainet") -> Network:
     """Builds the AI-Net (ref nn.py:511-553). See module docstring for options.
 
     ``lattice`` (rows = primitive vectors) switches to the periodic ansatz:
@@ -436,7 +486,8 @@ def make_ai_net(nspins: Tuple[int, int],
         feature_layer, spin_up_indices, spin_down_indices,
         full_equivariance=full_equivariance,
         regular_harmonics=regular_harmonics,
-        use_schnet=use_schnet)
+        use_schnet=use_schnet,
+        h_stream=h_stream)
     orbitals_init, orbitals_apply = make_orbitals(
         nspins=nspins, nelectrons=nelectrons, charges=charges,
         parallel_indices=parallel_indices, antiparallel_indices=antiparallel_indices,
@@ -445,8 +496,10 @@ def make_ai_net(nspins: Tuple[int, int],
         equivariant_layers=equivariant_layers, ndim=ndim,
         determinants=determinants, bias_orbitals=bias_orbitals,
         full_equivariance=full_equivariance, complex_orbitals=complex_orbitals,
+        complex_pairs=complex_pairs,
         bounded_envelope=bounded_envelope, jastrow_scale=jastrow_scale,
-        lattice=lattice, envelope_type=envelope_type)
+        lattice=lattice, envelope_type=envelope_type,
+        envelope_kwargs=envelope_kwargs)
 
     def init(key: chex.PRNGKey) -> ParamTree:
         _, subkey = jax.random.split(key)
@@ -454,6 +507,8 @@ def make_ai_net(nspins: Tuple[int, int],
 
     def apply(params, pos, spins, atoms, charges_in):
         orbitals = orbitals_apply(params, pos, spins, atoms, charges_in)
+        if complex_orbitals and complex_pairs:
+            return network_blocks.logdet_matmul_pair(orbitals)
         return network_blocks.logdet_matmul(orbitals)
 
     return Network(init=init, apply=apply, orbitals=orbitals_apply)
@@ -466,5 +521,16 @@ def make_log_network(signed_network) -> Callable[..., jnp.ndarray]:
     def log_network(*args, **kwargs):
         phase, mag = signed_network(*args, **kwargs)
         return mag + 1.0j * phase
+
+    return log_network
+
+
+def make_pair_log_network(signed_network) -> Callable[..., jnp.ndarray]:
+    """log psi as a stacked real pair [log|psi|, phase] — the TPU-safe
+    counterpart of ``make_log_network`` (no complex dtype)."""
+
+    def log_network(*args, **kwargs):
+        phase, mag = signed_network(*args, **kwargs)
+        return jnp.stack([mag, phase])
 
     return log_network

@@ -145,6 +145,153 @@ def inv(a: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# Complex matrices as (re, im) real pairs — the TPU backend has no complex64,
+# so the complex-orbital determinant tail (ref wavefunction_Ynlm/nn.py:456,
+# network_blocks.py:149-158) runs the same unrolled GE with explicit complex
+# arithmetic on real component arrays. Outputs are (cos phase, sin phase,
+# logabsdet); derivative rules are the complex closed forms split into parts:
+# d log det A = tr(A^-1 dA)  =>  d logabs = Re tr, d phase = Im tr.
+# ---------------------------------------------------------------------------
+
+
+def _pivot_select_pair(ar: jnp.ndarray, ai: jnp.ndarray, k: int):
+    """Partial pivot on |a_jk|^2 for the pair representation."""
+    n = ar.shape[-1]
+    col = ar[..., k:, k] ** 2 + ai[..., k:, k] ** 2
+    p = jnp.argmax(col, axis=-1)
+    onehot = jax.nn.one_hot(p, n - k, dtype=ar.dtype)
+
+    def swap(a):
+        rows = a[..., k:, :]
+        pivot_row = jnp.einsum("...r,...rc->...c", onehot, rows)
+        old_k = a[..., k, :]
+        rows = (rows * (1 - onehot[..., None])
+                + onehot[..., None] * old_k[..., None, :])
+        a = a.at[..., k:, :].set(rows)
+        a = a.at[..., k, :].set(pivot_row)
+        return a, pivot_row
+
+    ar, prow_r = swap(ar)
+    ai, prow_i = swap(ai)
+    swap_sign = jnp.where(p == 0, 1.0, -1.0).astype(ar.dtype)
+    return ar, ai, prow_r, prow_i, swap_sign
+
+
+def _ge_slogdet_pair(ar: jnp.ndarray, ai: jnp.ndarray):
+    """Unrolled batched GE on (re, im) pairs -> (cos, sin, logabs)."""
+    n = ar.shape[-1]
+    cos = jnp.ones(ar.shape[:-2], ar.dtype)
+    sin = jnp.zeros(ar.shape[:-2], ar.dtype)
+    logabs = jnp.zeros(ar.shape[:-2], ar.dtype)
+    for k in range(n):
+        ar, ai, prow_r, prow_i, swap_sign = _pivot_select_pair(ar, ai, k)
+        pr, pi = prow_r[..., k], prow_i[..., k]
+        mag2 = pr * pr + pi * pi
+        mag = jnp.sqrt(mag2)
+        logabs = logabs + 0.5 * jnp.log(mag2)
+        safe_mag = jnp.where(mag == 0, 1.0, mag)
+        # phase *= swap_sign * piv / |piv|
+        ur, ui = pr / safe_mag, pi / safe_mag
+        cos, sin = (swap_sign * (cos * ur - sin * ui),
+                    swap_sign * (cos * ui + sin * ur))
+        if k + 1 < n:
+            safe2 = jnp.where(mag2 == 0, 1.0, mag2)[..., None]
+            br, bi = ar[..., k + 1:, k], ai[..., k + 1:, k]
+            # m = a[k+1:, k] / piv  (complex division)
+            mr = (br * pr[..., None] + bi * pi[..., None]) / safe2
+            mi = (bi * pr[..., None] - br * pi[..., None]) / safe2
+            ar = ar.at[..., k + 1:, :].add(
+                -(mr[..., None] * prow_r[..., None, :]
+                  - mi[..., None] * prow_i[..., None, :]))
+            ai = ai.at[..., k + 1:, :].add(
+                -(mr[..., None] * prow_i[..., None, :]
+                  + mi[..., None] * prow_r[..., None, :]))
+    return cos, sin, logabs
+
+
+def _gj_inv_pair(ar: jnp.ndarray, ai: jnp.ndarray):
+    """Unrolled batched Gauss-Jordan inverse on (re, im) pairs."""
+    n = ar.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=ar.dtype), ar.shape)
+    ar = jnp.concatenate([ar, eye], axis=-1)            # (..., n, 2n)
+    ai = jnp.concatenate([ai, jnp.zeros_like(eye)], axis=-1)
+    for k in range(n):
+        col = ar[..., k:, k] ** 2 + ai[..., k:, k] ** 2
+        p = jnp.argmax(col, axis=-1)
+        onehot = jax.nn.one_hot(p, n - k, dtype=ar.dtype)
+
+        def swap(a, onehot=onehot, k=k):
+            rows = a[..., k:, :]
+            pivot_row = jnp.einsum("...r,...rc->...c", onehot, rows)
+            old_k = a[..., k, :]
+            rows = (rows * (1 - onehot[..., None])
+                    + onehot[..., None] * old_k[..., None, :])
+            a = a.at[..., k:, :].set(rows)
+            return a, pivot_row
+
+        ar, prow_r = swap(ar)
+        ai, prow_i = swap(ai)
+        pr, pi = prow_r[..., k], prow_i[..., k]
+        mag2 = pr * pr + pi * pi
+        safe2 = jnp.where(mag2 == 0, 1.0, mag2)[..., None]
+        # pivot_row /= piv
+        nr = (prow_r * pr[..., None] + prow_i * pi[..., None]) / safe2
+        ni = (prow_i * pr[..., None] - prow_r * pi[..., None]) / safe2
+        ar = ar.at[..., k, :].set(nr)
+        ai = ai.at[..., k, :].set(ni)
+        mr = ar[..., :, k].at[..., k].set(0)
+        mi = ai[..., :, k].at[..., k].set(0)
+        ar = ar - (mr[..., None] * nr[..., None, :]
+                   - mi[..., None] * ni[..., None, :])
+        ai = ai - (mr[..., None] * ni[..., None, :]
+                   + mi[..., None] * nr[..., None, :])
+    return ar[..., :, n:], ai[..., :, n:]
+
+
+@jax.custom_jvp
+def inv_pair(ar: jnp.ndarray, ai: jnp.ndarray):
+    """Complex inverse on (re, im) pairs: (..., n, n) x2 -> (..., n, n) x2."""
+    return _gj_inv_pair(ar, ai)
+
+
+@inv_pair.defjvp
+def _inv_pair_jvp(primals, tangents):
+    (ar, ai), (dar, dai) = primals, tangents
+    br, bi = inv_pair(ar, ai)
+
+    def cmatmul(xr, xi, yr, yi):
+        return (xr @ yr - xi @ yi, xr @ yi + xi @ yr)
+
+    tr, ti = cmatmul(br, bi, dar, dai)
+    dr, di = cmatmul(tr, ti, br, bi)
+    return (br, bi), (-dr, -di)
+
+
+@jax.custom_jvp
+def slogdet_pair(ar: jnp.ndarray, ai: jnp.ndarray):
+    """(cos, sin, logabsdet) of batched complex matrices given as (re, im).
+
+    Matches jnp.linalg.slogdet on ar + 1j*ai with the complex sign written as
+    (cos, sin). TPU-safe (no complex dtypes anywhere).
+    """
+    return _ge_slogdet_pair(ar, ai)
+
+
+@slogdet_pair.defjvp
+def _slogdet_pair_jvp(primals, tangents):
+    (ar, ai), (dar, dai) = primals, tangents
+    cos, sin, logabs = slogdet_pair(ar, ai)
+    br, bi = inv_pair(ar, ai)
+    # tr(A^-1 dA): Re and Im parts.
+    re_tr = (jnp.einsum("...ji,...ij->...", br, dar)
+             - jnp.einsum("...ji,...ij->...", bi, dai))
+    im_tr = (jnp.einsum("...ji,...ij->...", br, dai)
+             + jnp.einsum("...ji,...ij->...", bi, dar))
+    # d phase = Im tr; phase enters through (cos, sin).
+    return (cos, sin, logabs), (-sin * im_tr, cos * im_tr, re_tr)
+
+
+# ---------------------------------------------------------------------------
 # Pallas TPU kernel: fused batched GE in VMEM, batch on the lane axis.
 # ---------------------------------------------------------------------------
 #

@@ -117,7 +117,8 @@ def local_energy(f,
                  lattice: Optional[jnp.ndarray] = None,
                  heg: bool = False,
                  convergence_radius: int = 5,
-                 laplacian_chunk: Optional[int] = None):
+                 laplacian_chunk: Optional[int] = None,
+                 pair_output: bool = False):
     """Periodic local energy (ref ferminet/pbc/hamiltonian.py:153-214)."""
     from aiqmc_tpu.hamiltonian.kinetic import local_kinetic_energy
     from aiqmc_tpu.models.features import construct_input_features
@@ -127,7 +128,8 @@ def local_energy(f,
         lattice = jnp.eye(3)
     ke = local_kinetic_energy(f, use_scan=use_scan,
                               complex_output=complex_output,
-                              laplacian_chunk=laplacian_chunk)
+                              laplacian_chunk=laplacian_chunk,
+                              pair_output=pair_output)
 
     def _e_l(params, key: chex.PRNGKey, data) -> Tuple[jnp.ndarray, None]:
         del key
@@ -136,6 +138,9 @@ def local_energy(f,
         ae, ee, _, _ = construct_input_features(data.positions, data.atoms)
         potential = potential_fn(ae, ee)
         kinetic = ke(params, data)
+        if complex_output and pair_output:
+            return kinetic + jnp.stack(
+                [potential, jnp.zeros_like(potential)]), None
         return potential + kinetic, None
 
     return _e_l

@@ -113,6 +113,8 @@ def make_pretrain_step(network_orbitals,
         def single(pos):
             dets = network_orbitals(params, pos, data.spins, data.atoms,
                                     data.charges)[0]  # (ndet, nelec, nelec)
+            if isinstance(dets, tuple):  # pair-complex mode: match Re part
+                dets = dets[0]
             phi_up, phi_down = target_fn(pos)
             nelec = dets.shape[-1]
             target = jnp.zeros((nelec, nelec), dets.dtype)

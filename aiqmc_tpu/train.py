@@ -53,6 +53,19 @@ class TrainResult:
     ckpt_save_path: str
 
 
+def _envelope_kwargs(cfg, nelectrons: int):
+    """Construction-time kwargs for zoo envelopes; the multiwave (Bloch)
+    envelope needs the Cartesian k-point set of the simulation cell
+    (ref ferminet/configs/heg.py:24-31)."""
+    if cfg.network.get("envelope_type", "pp_like") != "multiwave":
+        return None
+    if not cfg.system.get("pbc", False):
+        raise ValueError("multiwave envelope requires cfg.system.pbc")
+    from aiqmc_tpu.pbc import kpoints as kpoints_lib
+    return {"kpoints": kpoints_lib.make_envelope_kpoints(
+        np.asarray(cfg.system.structure), nelectrons)}
+
+
 def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
     from aiqmc_tpu.models import blocks
     blocks.set_matmul_dtype(
@@ -100,15 +113,21 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         hidden_dims_Ynlm=tuple(cfg.network.hidden_dims_ynlm),
         full_equivariance=cfg.network.full_equivariance,
         complex_orbitals=cfg.network.complex_orbitals,
+        complex_pairs=cfg.network.get("complex_pairs", False),
         bounded_envelope=cfg.network.bounded_envelope,
         regular_harmonics=cfg.network.regular_harmonics,
         lattice=(jnp.asarray(cfg.system.structure)
                  if cfg.system.get("pbc", False) else None),
         envelope_type=cfg.network.get("envelope_type", "pp_like"),
+        envelope_kwargs=_envelope_kwargs(cfg, nelectrons),
         use_schnet=cfg.network.get("use_schnet", False),
+        h_stream=cfg.network.get("h_stream", "ainet"),
         jastrow_scale=cfg.network.get("jastrow_scale", None))
     states = cfg.system.get("states", 0)
     if states:
+        if cfg.network.get("complex_pairs", False):
+            raise NotImplementedError(
+                "NES-VMC excited states with the pair complex representation")
         # Wrap K parameter copies into the NES-VMC total ansatz det[psi_i(x_j)]
         # (ref ferminet/networks.py:1313-1348); `orbitals` stays the base
         # network's for the per-state forward-Laplacian energy matrix.
@@ -121,6 +140,7 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
 
 def _build_local_energy(cfg, network):
     complex_output = cfg.network.complex_orbitals
+    pair_output = complex_output and cfg.network.get("complex_pairs", False)
     laplacian_method = cfg.optim.get("laplacian", "default")
     orbitals_fn = network.orbitals if laplacian_method == "forward" else None
     states = cfg.system.get("states", 0)
@@ -144,7 +164,8 @@ def _build_local_energy(cfg, network):
             lattice=jnp.asarray(cfg.system.structure),
             heg=cfg.system.ewald.heg,
             convergence_radius=cfg.system.ewald.truncation_limit,
-            laplacian_chunk=cfg.optim.laplacian_chunk)
+            laplacian_chunk=cfg.optim.laplacian_chunk,
+            pair_output=pair_output)
     if cfg.system.use_pp:
         pp = cfg.system.pp
         return pp_local_energy.local_energy(
@@ -166,7 +187,8 @@ def _build_local_energy(cfg, network):
             laplacian_chunk=cfg.optim.laplacian_chunk,
             reference_compat=pp.reference_compat,
             laplacian_method=laplacian_method,
-            orbitals_fn=orbitals_fn)
+            orbitals_fn=orbitals_fn,
+            pair_output=pair_output)
     return ae_local_energy.local_energy(
         f=network.apply,
         charges=jnp.asarray(cfg.system.charges),
@@ -174,7 +196,8 @@ def _build_local_energy(cfg, network):
         complex_output=complex_output,
         laplacian_chunk=cfg.optim.laplacian_chunk,
         laplacian_method=laplacian_method,
-        orbitals_fn=orbitals_fn)
+        orbitals_fn=orbitals_fn,
+        pair_output=pair_output)
 
 
 def _build_mcmc(cfg, network, batch_size: int):
@@ -242,21 +265,34 @@ def make_training_components(cfg, network, batch_size: int,
     import optax
 
     localenergy = _build_local_energy(cfg, network)
+    pair_output = (cfg.network.complex_orbitals
+                   and cfg.network.get("complex_pairs", False))
     logabs_network = lambda *a, **k: network.apply(*a, **k)[1]
-    if cfg.network.complex_orbitals:
+    if pair_output:
+        # log psi as a stacked real [log|psi|, phase] pair (TPU-safe).
+        loss_network = nn.make_pair_log_network(network.apply)
+    elif cfg.network.complex_orbitals:
         # log psi = log|psi| + i*phase (ref main_pp_adam_muti_GPU.py:119-121).
         loss_network = nn.make_log_network(network.apply)
     else:
         loss_network = logabs_network
-    make_loss = (loss_lib.make_wqmc_loss if cfg.optim.objective == "wqmc"
-                 else loss_lib.make_loss)
+    if cfg.optim.objective == "wqmc":
+        if pair_output:
+            raise NotImplementedError(
+                "WQMC with the pair complex representation is unsupported")
+        make_loss = loss_lib.make_wqmc_loss
+        loss_kwargs = {}
+    else:
+        make_loss = loss_lib.make_loss
+        loss_kwargs = {"pair_output": pair_output}
     evaluate_loss = make_loss(
         network=loss_network,
         local_energy=localenergy,
         clip_local_energy=cfg.optim.clip_local_energy,
         clip_from_median=cfg.optim.clip_from_median,
         center_at_clipped_energy=cfg.optim.center_at_clipped_energy,
-        complex_output=cfg.network.complex_orbitals)
+        complex_output=cfg.network.complex_orbitals,
+        **loss_kwargs)
 
     mc_step = _build_mcmc(cfg, network, batch_size)
 
@@ -310,10 +346,19 @@ def make_training_components(cfg, network, batch_size: int,
         return _TrainingComponents(mc_step, evaluate_loss, opt_init_none,
                                    combined_step_none)
 
-    optimizer = optax.chain(
-        optax.scale_by_adam(**cfg.optim.adam.to_dict()),
-        optax.scale_by_schedule(make_learning_rate_schedule(cfg)),
-        optax.scale(-1.0))
+    if cfg.optim.optimizer == "lamb":
+        # ref ferminet/train.py:749-755
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.scale_by_adam(eps=1e-7),
+            optax.scale_by_trust_ratio(),
+            optax.scale_by_schedule(make_learning_rate_schedule(cfg)),
+            optax.scale(-1.0))
+    else:
+        optimizer = optax.chain(
+            optax.scale_by_adam(**cfg.optim.adam.to_dict()),
+            optax.scale_by_schedule(make_learning_rate_schedule(cfg)),
+            optax.scale(-1.0))
     opt_step = adam_lib.make_training_step(
         adam_lib.make_opt_update_step(evaluate_loss, optimizer))
 

@@ -30,10 +30,12 @@ energies, data, weights = driver.main(
     Rn_non_local=c.RN_NON_LOCAL, Non_local_coes=c.NON_LOCAL_COES,
     Non_local_exps=c.NON_LOCAL_EXPS, list_l=2, use_tmoves=True,
     network_kwargs=dict(
-        hidden_dims=((64, 16), (64, 16), (64, 16)),
-        hidden_dims_Ynlm=(16, 16, 16), determinants=4,
+        hidden_dims=((128, 32),) * 4,
+        hidden_dims_Ynlm=(16, 16, 16, 16), determinants=8,
         full_equivariance=True, complex_orbitals=False,
-        bounded_envelope=True, regular_harmonics=True))
+        bounded_envelope=True, regular_harmonics=True,
+        h_stream=("ferminet" if len(sys.argv) > 6 and sys.argv[6] == "ferminet"
+                  else "ainet")))
 
 e = np.asarray(energies)
 half = e[len(e) // 2:]

@@ -9,7 +9,7 @@ from aiqmc_tpu.models import blocks, network as nn, spin_indices
 
 
 def _build(nelectrons=4, natoms=2, determinants=1, full_equivariance=True,
-           complex_orbitals=False, spins=None):
+           complex_orbitals=False, spins=None, **kwargs):
     if spins is None:
         spins = np.array([1.0] * (nelectrons // 2) + [-1.0] * (nelectrons -
                                                                nelectrons // 2))
@@ -22,8 +22,24 @@ def _build(nelectrons=4, natoms=2, determinants=1, full_equivariance=True,
         antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
         n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=natoms,
         nelectrons=nelectrons, determinants=determinants,
-        full_equivariance=full_equivariance, complex_orbitals=complex_orbitals)
+        full_equivariance=full_equivariance, complex_orbitals=complex_orbitals,
+        **kwargs)
     return net, atoms, charges, jnp.asarray(spins)
+
+
+def test_ferminet_h_stream_antisymmetric():
+    """The upstream-FermiNet one-electron update (h_stream='ferminet',
+    ref ferminet/networks.py:676-774) keeps exact antisymmetry."""
+    net, atoms, charges, spins = _build(h_stream="ferminet", determinants=2)
+    params = net.init(jax.random.PRNGKey(0))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (12,))
+    phase, logabs = net.apply(params, pos, spins, atoms, charges)
+    swapped = pos.reshape(4, 3)[jnp.array([1, 0, 2, 3])].reshape(-1)
+    phase2, logabs2 = net.apply(params, swapped, spins, atoms, charges)
+    np.testing.assert_allclose(logabs, logabs2, rtol=1e-6)
+    np.testing.assert_allclose(phase, -phase2)
+    g = jax.grad(lambda p: net.apply(params, p, spins, atoms, charges)[1])(pos)
+    assert np.isfinite(g).all()
 
 
 @pytest.mark.parametrize("complex_orbitals", [False, True])

@@ -34,6 +34,16 @@ def test_h2_all_electron_adam(tmp_path):
     assert np.all(np.isfinite(result.energies))
 
 
+def test_h2_lamb(tmp_path):
+    """LAMB optimizer option (ref ferminet/train.py:749-755)."""
+    cfg = _h2_cfg()
+    with cfg.unlocked():
+        cfg.optim.optimizer = "lamb"
+        cfg.log.save_path = str(tmp_path)
+    result = train.train(cfg)
+    assert np.all(np.isfinite(result.energies))
+
+
 def test_c_atom_ecp_adam(tmp_path):
     """C ccECP atom, reference example tables
     (ref example/single_atom_C/single_atom_C.py)."""
