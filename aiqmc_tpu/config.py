@@ -69,6 +69,8 @@ def default() -> ml_collections.ConfigDict:
             "use_schnet": False,        # SchNet-style two-electron convolutions
         "h_stream": "ainet",        # ainet (conv-reduce, ref nn.py:294-300) |
                                     # ferminet (full linear on symmetric features)
+        "pbc_smooth_r": False,      # smooth periodic r for Jastrow/envelope
+                                    # (C^inf at the WS boundary) vs minimum image
             "jastrow_scale": None,      # None = 1/nelectrons (exact at det level)
             "matmul_dtype": "float32",  # float32 | bfloat16 (h-stream matmuls)
             "network_type": "ainet",    # ainet | psiformer

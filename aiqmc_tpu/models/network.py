@@ -291,7 +291,8 @@ def make_orbitals(nspins: Tuple[int, int],
                   jastrow_scale: Optional[float] = None,
                   lattice: Optional[jnp.ndarray] = None,
                   envelope_type: str = "pp_like",
-                  envelope_kwargs: Optional[dict] = None):
+                  envelope_kwargs: Optional[dict] = None,
+                  pbc_smooth_r: bool = False):
     """(Complex) orbitals x envelope x Y-orbitals x Jastrows (ref nn.py:356-508)."""
     equivariant_layers_init, equivariant_layers_apply = equivariant_layers
     (jastrow_ee_init, jastrow_ee_apply, jastrow_ae_init, jastrow_ae_apply
@@ -350,18 +351,39 @@ def make_orbitals(nspins: Tuple[int, int],
         ae, ee, r_ae, r_ee = construct_input_features(pos, atoms, ndim=ndim)
         if lattice is not None:
             # Periodic ansatz: all displacement-derived quantities (harmonics,
-            # envelope, Jastrows) use minimum-image vectors so log|psi| is
-            # invariant under lattice translations of any electron; the
-            # periodic feature layer is translation-invariant by construction.
-            from aiqmc_tpu.pbc.enforce import minimum_image
-            ae = minimum_image(lattice, ae)
-            ee_mi = minimum_image(lattice, ee)
+            # envelope, Jastrows) use lattice-periodic displacements so
+            # log|psi| is invariant under lattice translations of any electron;
+            # the periodic feature layer is translation-invariant by
+            # construction.
             nelec = ee.shape[0]
             eye = jnp.eye(nelec)
-            ee = ee_mi * (1.0 - eye)[..., None]
-            r_ae = jnp.linalg.norm(ae, axis=2, keepdims=True)
-            r_ee = (jnp.linalg.norm(ee + eye[..., None], axis=-1)
-                    * (1.0 - eye))[..., None]
+            if pbc_smooth_r:
+                # Smooth surrogates (ref ferminet/pbc/feature_layer.py:29-44):
+                # displacement -> (L^T sin(2 pi s)) / 2 pi and |r| ->
+                # periodic_norm. Both match the Euclidean quantities to O(r^3)
+                # at coincidence (so e-e/e-a cusps are preserved) and are
+                # smooth at the Wigner-Seitz boundary, where the minimum image
+                # has derivative kinks (other QMC codes tolerate them; flag
+                # default keeps the minimum-image variant).
+                from aiqmc_tpu.pbc.features import periodic_norm
+                inv_lattice = jnp.linalg.inv(lattice)
+                metric = lattice @ lattice.T
+                s_ae = ae @ inv_lattice
+                s_ee = ee @ inv_lattice
+                ae = (jnp.sin(2 * jnp.pi * s_ae) @ lattice) / (2 * jnp.pi)
+                r_ae = periodic_norm(metric, s_ae)[..., None]
+                ee = ((jnp.sin(2 * jnp.pi * s_ee) @ lattice) / (2 * jnp.pi)
+                      * (1.0 - eye)[..., None])
+                r_ee = (periodic_norm(metric, s_ee + eye[..., None])
+                        * (1.0 - eye))[..., None]
+            else:
+                from aiqmc_tpu.pbc.enforce import minimum_image
+                ae = minimum_image(lattice, ae)
+                ee_mi = minimum_image(lattice, ee)
+                ee = ee_mi * (1.0 - eye)[..., None]
+                r_ae = jnp.linalg.norm(ae, axis=2, keepdims=True)
+                r_ee = (jnp.linalg.norm(ee + eye[..., None], axis=-1)
+                        * (1.0 - eye))[..., None]
         h_to_orbitals, y_to_orbitals = equivariant_layers_apply(
             params["layers"], ae=ae, r_ae=r_ae, ee=ee, r_ee=r_ee)
 
@@ -460,7 +482,8 @@ def make_ai_net(nspins: Tuple[int, int],
                 envelope_type: str = "pp_like",
                 envelope_kwargs: Optional[dict] = None,
                 use_schnet: bool = False,
-                h_stream: str = "ainet") -> Network:
+                h_stream: str = "ainet",
+                pbc_smooth_r: bool = False) -> Network:
     """Builds the AI-Net (ref nn.py:511-553). See module docstring for options.
 
     ``lattice`` (rows = primitive vectors) switches to the periodic ansatz:
@@ -499,7 +522,7 @@ def make_ai_net(nspins: Tuple[int, int],
         complex_pairs=complex_pairs,
         bounded_envelope=bounded_envelope, jastrow_scale=jastrow_scale,
         lattice=lattice, envelope_type=envelope_type,
-        envelope_kwargs=envelope_kwargs)
+        envelope_kwargs=envelope_kwargs, pbc_smooth_r=pbc_smooth_r)
 
     def init(key: chex.PRNGKey) -> ParamTree:
         _, subkey = jax.random.split(key)

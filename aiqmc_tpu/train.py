@@ -122,6 +122,7 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         envelope_kwargs=_envelope_kwargs(cfg, nelectrons),
         use_schnet=cfg.network.get("use_schnet", False),
         h_stream=cfg.network.get("h_stream", "ainet"),
+        pbc_smooth_r=cfg.network.get("pbc_smooth_r", False),
         jastrow_scale=cfg.network.get("jastrow_scale", None))
     states = cfg.system.get("states", 0)
     if states:

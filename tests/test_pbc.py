@@ -150,3 +150,52 @@ def test_pbc_network_periodic():
     _, log2 = net.apply(params, pos2.reshape(-1), jnp.asarray(spins), atoms,
                         charges)
     np.testing.assert_allclose(float(log1), float(log2), rtol=1e-4)
+
+
+def test_pbc_network_smooth_r_periodic_and_smooth():
+    """pbc_smooth_r=True: periodicity holds AND grad(log|psi|) is continuous
+    across the Wigner-Seitz boundary, where the minimum image kinks."""
+    nelec, natoms = 2, 1
+    spins = np.array([1.0, -1.0])
+    lattice = jnp.asarray(LATTICE)
+    atoms = jnp.zeros((natoms, 3))
+    charges = jnp.asarray([2.0])
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelec)
+    up, down = spin_indices.spin_indices_h(spins)
+
+    def build(smooth):
+        return nn.make_ai_net(
+            nspins=(1, 1), charges=charges, parallel_indices=par,
+            antiparallel_indices=anti, spin_up_indices=up,
+            spin_down_indices=down, n_parallel=n_par, n_antiparallel=n_anti,
+            ndim=3, natoms=natoms, nelectrons=nelec, full_equivariance=True,
+            complex_orbitals=False, bounded_envelope=True,
+            regular_harmonics=True, lattice=lattice, pbc_smooth_r=smooth)
+
+    net = build(True)
+    params = net.init(jax.random.PRNGKey(0))
+    pos = jnp.asarray([0.3, 0.4, 0.5, 1.1, 0.2, 0.9])
+    _, log1 = net.apply(params, pos, jnp.asarray(spins), atoms, charges)
+    pos2 = pos.at[3:6].add(lattice[1])
+    _, log2 = net.apply(params, pos2, jnp.asarray(spins), atoms, charges)
+    np.testing.assert_allclose(float(log1), float(log2), rtol=1e-4)
+
+    # Gradient continuity across the WS boundary along x: electron 1 crosses
+    # half a lattice vector away from electron 0. Sample grad on both sides
+    # of the boundary; the smooth variant must match to O(eps), the minimum
+    # image variant jumps by O(1).
+    half = lattice[0] / 2.0
+    eps = 1e-3
+
+    def jump(network):
+        g = jax.grad(lambda p: network.apply(params, p, jnp.asarray(spins),
+                                             atoms, charges)[1])
+        base = jnp.asarray([0.0, 0.1, 0.2, 0.0, 0.15, 0.1]) \
+            + jnp.concatenate([jnp.zeros(3), half])
+        lo = base.at[3].add(-eps)
+        hi = base.at[3].add(eps)
+        return float(jnp.max(jnp.abs(g(hi) - g(lo))))
+
+    net_mi = build(False)
+    assert jump(net) < 30 * eps, "smooth variant must be C^1 at the boundary"
+    assert jump(net_mi) > jump(net), "minimum image should kink more"
