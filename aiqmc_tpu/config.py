@@ -71,6 +71,8 @@ def default() -> ml_collections.ConfigDict:
                                     # ferminet (full linear on symmetric features)
         "pbc_smooth_r": False,      # smooth periodic r for Jastrow/envelope
                                     # (C^inf at the WS boundary) vs minimum image
+        "jastrow_ae": None,         # None = auto: a-e cusp Jastrow only for
+                                    # all-electron systems (wrong at ECP cores)
             "jastrow_scale": None,      # None = 1/nelectrons (exact at det level)
             "matmul_dtype": "float32",  # float32 | bfloat16 (h-stream matmuls)
             "network_type": "ainet",    # ainet | psiformer

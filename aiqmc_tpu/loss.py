@@ -222,9 +222,15 @@ def make_wqmc_loss(network,
                    clip_local_energy: float = 0.0,
                    clip_from_median: bool = True,
                    center_at_clipped_energy: bool = True,
-                   complex_output: bool = False):
+                   complex_output: bool = False,
+                   pair_output: bool = False):
     """WQMC objective with score-based tangent and outlier mask
-    (ref loss.py:275-416)."""
+    (ref loss.py:275-416).
+
+    pair_output: TPU-safe complex representation — E_L is (batch, 2) [Re, Im],
+    ``network`` returns stacked [log|psi|, phase]; the score and guiding use
+    log|psi| (column 0) and the energy term is Re<conj(diff), dpsi>.
+    """
     batch_local_energy = jax.vmap(
         local_energy,
         in_axes=(None, 0, AINetData(positions=0, spins=None, atoms=None, charges=None)),
@@ -235,15 +241,22 @@ def make_wqmc_loss(network,
     def total_energy(params: ParamTree, key: chex.PRNGKey, data: AINetData):
         keys = jax.random.split(key, num=data.positions.shape[0])
         e_l, e_l_mat = batch_local_energy(params, keys, data)
-        loss = jnp.mean(e_l)
-        loss_diff = e_l - loss
-        variance = jnp.mean(loss_diff * jnp.conj(loss_diff))
+        if pair_output:
+            mean_pair = jnp.mean(e_l, axis=0)
+            loss = mean_pair[0]
+            loss_diff = e_l - mean_pair[None]
+            variance = jnp.mean(jnp.sum(loss_diff * loss_diff, axis=-1))
+        else:
+            loss = jnp.mean(e_l)
+            loss_diff = e_l - loss
+            variance = jnp.mean(loss_diff * jnp.conj(loss_diff)).real
 
         def batch_local_energy_pos(pos):
             network_data = AINetData(
                 positions=pos, spins=data.spins, atoms=data.atoms,
                 charges=data.charges)
-            return batch_local_energy(params, keys, network_data)[0].sum()
+            out = batch_local_energy(params, keys, network_data)[0]
+            return out[:, 0].sum() if pair_output else out.sum()
 
         grad_e_l = jax.grad(batch_local_energy_pos)(data.positions)
         grad_e_l = jnp.tanh(jax.lax.stop_gradient(grad_e_l))
@@ -258,7 +271,16 @@ def make_wqmc_loss(network,
     def total_energy_jvp(primals, tangents):  # pylint: disable=unused-variable
         params, key, data = primals
         loss, aux_data = total_energy(params, key, data)
-        if clip_local_energy > 0.0:
+        if pair_output:
+            mean_pair = jnp.mean(aux_data.local_energy, axis=0)
+            if clip_local_energy > 0.0:
+                aux_data.clipped_energy, diff = clip_local_values(
+                    aux_data.local_energy, mean_pair, clip_local_energy,
+                    clip_from_median, center_at_clipped_energy,
+                    complex_output, pair_output=True)
+            else:
+                diff = aux_data.local_energy - mean_pair[None]
+        elif clip_local_energy > 0.0:
             aux_data.clipped_energy, diff = clip_local_values(
                 aux_data.local_energy, loss, clip_local_energy, clip_from_median,
                 center_at_clipped_energy, complex_output)
@@ -267,6 +289,8 @@ def make_wqmc_loss(network,
 
         def log_q(params_, pos_, spins_, atoms_, charges_):
             out = batch_network(params_, pos_, spins_, atoms_, charges_)
+            if pair_output:
+                out = out[:, 0]  # guiding distribution |psi|^2: log|psi| only
             curvature.register_normal_predictive_distribution(out[:, None])
             return out.sum()
 
@@ -285,7 +309,12 @@ def make_wqmc_loss(network,
         log_q_tangent_out *= len(mask) / mask.sum()
 
         _, psi_tangent = jax.jvp(batch_network, primals_net, tangents_net)
-        log_q_tangent_out += diff * psi_tangent
+        if pair_output:
+            # Re<conj(diff), dpsi> with dpsi = dlog|psi| + i dphase.
+            log_q_tangent_out += (diff[:, 0] * psi_tangent[:, 0]
+                                  + diff[:, 1] * psi_tangent[:, 1])
+        else:
+            log_q_tangent_out += diff * psi_tangent
         primals_out = loss, aux_data
         tangents_out = (log_q_tangent_out.mean(), aux_data)
         return primals_out, tangents_out

@@ -83,10 +83,34 @@ def make_pade_ae_jastrow(charges: jnp.ndarray, per_electron: bool = True):
     return init, apply
 
 
-def get_jastrow(charges: jnp.ndarray, per_electron_ae: bool = True
+def make_null_ae_jastrow():
+    """No a-e Jastrow. The Pade a-e term forces the all-electron cusp
+    d log|psi| / dr_ia = -Z_a at each nucleus; for a pseudopotential atom the
+    exact wavefunction is SMOOTH at the core (the ECP removes the -Z/r
+    singularity), so the forced kink adds an uncancelled ~Z/r kinetic spike —
+    a variance and energy floor. (The reference applies the cusp Jastrow to
+    its ECP Hamiltonian too, ref Energy/pphamiltonian.py + Jastrow.py:81-103 —
+    reference behaviour available via jastrow_ae=True.)"""
+
+    def init(nelectrons: int, natoms: int) -> Mapping[str, jnp.ndarray]:
+        del nelectrons, natoms
+        return {}
+
+    def apply(r_ae: jnp.ndarray, params) -> jnp.ndarray:
+        del params
+        return jnp.zeros((), dtype=r_ae.dtype)
+
+    return init, apply
+
+
+def get_jastrow(charges: jnp.ndarray, per_electron_ae: bool = True,
+                include_ae: bool = True
                 ) -> Tuple[object, object, object, object]:
     """Returns (ee_init, ee_apply, ae_init, ae_apply) (ref Jastrow.py:132-135)."""
     jastrow_ee_init, jastrow_ee_apply = make_pade_ee_jastrow()
-    jastrow_ae_init, jastrow_ae_apply = make_pade_ae_jastrow(
-        charges, per_electron=per_electron_ae)
+    if include_ae:
+        jastrow_ae_init, jastrow_ae_apply = make_pade_ae_jastrow(
+            charges, per_electron=per_electron_ae)
+    else:
+        jastrow_ae_init, jastrow_ae_apply = make_null_ae_jastrow()
     return jastrow_ee_init, jastrow_ee_apply, jastrow_ae_init, jastrow_ae_apply

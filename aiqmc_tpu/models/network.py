@@ -289,6 +289,7 @@ def make_orbitals(nspins: Tuple[int, int],
                   complex_pairs: bool = False,
                   bounded_envelope: bool = False,
                   jastrow_scale: Optional[float] = None,
+                  jastrow_ae: bool = True,
                   lattice: Optional[jnp.ndarray] = None,
                   envelope_type: str = "pp_like",
                   envelope_kwargs: Optional[dict] = None,
@@ -296,7 +297,8 @@ def make_orbitals(nspins: Tuple[int, int],
     """(Complex) orbitals x envelope x Y-orbitals x Jastrows (ref nn.py:356-508)."""
     equivariant_layers_init, equivariant_layers_apply = equivariant_layers
     (jastrow_ee_init, jastrow_ee_apply, jastrow_ae_init, jastrow_ae_apply
-     ) = jastrow_lib.get_jastrow(charges, per_electron_ae=not full_equivariance)
+     ) = jastrow_lib.get_jastrow(charges, per_electron_ae=not full_equivariance,
+                                 include_ae=jastrow_ae)
     if envelope_type == "pp_like":
         envelope_init, envelope_apply = envelope_lib.make_pp_like_envelope(
             per_electron=not full_equivariance, bounded=bounded_envelope)
@@ -477,6 +479,7 @@ def make_ai_net(nspins: Tuple[int, int],
                 complex_pairs: bool = False,
                 bounded_envelope: bool = False,
                 jastrow_scale: Optional[float] = None,
+                jastrow_ae: bool = True,
                 regular_harmonics: bool = False,
                 lattice: Optional[jnp.ndarray] = None,
                 envelope_type: str = "pp_like",
@@ -521,6 +524,7 @@ def make_ai_net(nspins: Tuple[int, int],
         full_equivariance=full_equivariance, complex_orbitals=complex_orbitals,
         complex_pairs=complex_pairs,
         bounded_envelope=bounded_envelope, jastrow_scale=jastrow_scale,
+        jastrow_ae=jastrow_ae,
         lattice=lattice, envelope_type=envelope_type,
         envelope_kwargs=envelope_kwargs, pbc_smooth_r=pbc_smooth_r)
 

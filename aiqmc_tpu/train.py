@@ -123,6 +123,11 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         use_schnet=cfg.network.get("use_schnet", False),
         h_stream=cfg.network.get("h_stream", "ainet"),
         pbc_smooth_r=cfg.network.get("pbc_smooth_r", False),
+        # The Pade a-e cusp is exact for bare Coulomb nuclei but wrong for
+        # ECP cores (smooth psi there); default: on iff all-electron.
+        jastrow_ae=(cfg.network.get("jastrow_ae", None)
+                    if cfg.network.get("jastrow_ae", None) is not None
+                    else not cfg.system.use_pp),
         jastrow_scale=cfg.network.get("jastrow_scale", None))
     states = cfg.system.get("states", 0)
     if states:
@@ -277,15 +282,9 @@ def make_training_components(cfg, network, batch_size: int,
         loss_network = nn.make_log_network(network.apply)
     else:
         loss_network = logabs_network
-    if cfg.optim.objective == "wqmc":
-        if pair_output:
-            raise NotImplementedError(
-                "WQMC with the pair complex representation is unsupported")
-        make_loss = loss_lib.make_wqmc_loss
-        loss_kwargs = {}
-    else:
-        make_loss = loss_lib.make_loss
-        loss_kwargs = {"pair_output": pair_output}
+    make_loss = (loss_lib.make_wqmc_loss if cfg.optim.objective == "wqmc"
+                 else loss_lib.make_loss)
+    loss_kwargs = {"pair_output": pair_output}
     evaluate_loss = make_loss(
         network=loss_network,
         local_energy=localenergy,

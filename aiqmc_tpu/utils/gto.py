@@ -83,6 +83,8 @@ STO3G = {
 _SHELL_LMN = {
     "s": [(0, 0, 0)],
     "p": [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
+    # Cartesian d set (6 components, includes the s-contaminant combination).
+    "d": [(2, 0, 0), (0, 2, 0), (0, 0, 2), (1, 1, 0), (1, 0, 1), (0, 1, 1)],
 }
 
 

@@ -114,6 +114,27 @@ def test_pair_local_energy_and_loss_grad_match_complex():
         np.testing.assert_allclose(fC, fP, rtol=1e-4, atol=1e-4)
 
 
+def test_wqmc_pair_finite_grad():
+    """WQMC objective in pair mode: runs and yields finite gradients."""
+    from aiqmc_tpu import loss as loss_lib
+    from aiqmc_tpu.hamiltonian import local_energy as ae_le
+    netP, spins, atoms, charges = _nets(complex_pairs=True)
+    params = netP.init(jax.random.PRNGKey(0))
+    pos = 0.7 * jax.random.normal(jax.random.PRNGKey(2), (8, 6))
+    data = AINetData(positions=pos, spins=spins, atoms=atoms, charges=charges)
+    leP = ae_le.local_energy(netP.apply, charges, (1, 1), complex_output=True,
+                             pair_output=True)
+    lossP = loss_lib.make_wqmc_loss(
+        nn.make_pair_log_network(netP.apply), leP, clip_local_energy=5.0,
+        complex_output=True, pair_output=True)
+    (v, aux), g = jax.value_and_grad(lossP, has_aux=True)(
+        params, jax.random.PRNGKey(3), data)
+    assert np.isfinite(v)
+    flat = jnp.concatenate([x.reshape(-1)
+                            for x in jax.tree_util.tree_leaves(g)])
+    assert np.isfinite(flat).all()
+
+
 def test_train_complex_pairs_end_to_end(tmp_path):
     from aiqmc_tpu import config as config_lib
     from aiqmc_tpu import train

@@ -195,3 +195,24 @@ def test_bf16_matmul_option_close_to_f32():
     assert np.all(np.isfinite(np.asarray(g16)))
     np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_jastrow_ae_off_smooth_at_core():
+    """jastrow_ae=False: log|psi| has no forced cusp at the (pseudo)nucleus —
+    the radial slope of the Jastrow factor vanishes (see BASELINE.md FCI
+    oracle diagnosis; ref Jastrow.py:81-103 forces slope -Z)."""
+    from aiqmc_tpu.models import jastrow as jastrow_lib
+    charges = jnp.asarray([4.0])
+    _, _, ae_init_on, ae_apply_on = jastrow_lib.get_jastrow(
+        charges, per_electron_ae=False, include_ae=True)
+    _, _, ae_init_off, ae_apply_off = jastrow_lib.get_jastrow(
+        charges, per_electron_ae=False, include_ae=False)
+    p_on = ae_init_on(nelectrons=2, natoms=1)
+    p_off = ae_init_off(nelectrons=2, natoms=1)
+    assert p_off == {}
+    r = jnp.asarray([[1e-4], [2e-4]])
+    # forced cusp: dJ/dr -> -Z per (electron, atom) pair at r -> 0
+    g_on = jax.grad(lambda rr: ae_apply_on(rr, p_on))(r)
+    np.testing.assert_allclose(g_on, -4.0 * np.ones((2, 1)), rtol=1e-2)
+    g_off = jax.grad(lambda rr: ae_apply_off(rr, p_off))(r)
+    np.testing.assert_allclose(g_off, 0.0)
