@@ -34,8 +34,11 @@ energies, data, weights = driver.main(
         hidden_dims_Ynlm=(16, 16, 16, 16), determinants=8,
         full_equivariance=True, complex_orbitals=False,
         bounded_envelope=True, regular_harmonics=True,
-        h_stream=("ferminet" if len(sys.argv) > 6 and sys.argv[6] == "ferminet"
-                  else "ainet")))
+        # must match the VMC training network: runs/c_kfac4+ train with the
+        # a-e cusp Jastrow disabled (wrong at ECP cores); pass
+        # jastrow_ae=True only to restore from the older c_kfac2 checkpoint.
+        jastrow_ae=(sys.argv[6].lower() == "true") if len(sys.argv) > 6 else False,
+        h_stream=sys.argv[7] if len(sys.argv) > 7 else "ainet"))
 
 e = np.asarray(energies)
 half = e[len(e) // 2:]
