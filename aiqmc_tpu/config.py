@@ -132,6 +132,8 @@ def default() -> ml_collections.ConfigDict:
             "restore_path": "",
             "save_frequency": 10.0,     # minutes
             "stats_frequency": 1,
+            "profile_steps": None,      # (start, stop) step window -> XLA trace
+                                        # in <save_path>/profile (TensorBoard)
         },
         "debug": {
             "deterministic": False,

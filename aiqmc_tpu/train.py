@@ -18,6 +18,7 @@ TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional, Tuple
 
@@ -506,8 +507,16 @@ def train(cfg: ml_collections.ConfigDict,
 
     energies = []
     time_of_last_ckpt = time.time()
+    # Optional XLA/TPU profiler window (the reference has no tracing at all,
+    # SURVEY.md §5; its jax.debug.print instrumentation is host-sync poison).
+    # cfg.log.profile_steps = (start, stop) captures a trace viewable in
+    # TensorBoard/XProf under <save_path>/profile.
+    profile_window = cfg.log.get("profile_steps", None)
     with writer_manager as writer:
         for t in range(t_init, t_init + cfg.optim.iterations):
+            if profile_window and t - t_init == int(profile_window[0]):
+                jax.profiler.start_trace(
+                    os.path.join(ckpt_save_path, "profile"))
             key, subkey = jax.random.split(key)
             params, opt_state, data, loss_val, stats, pmove = jit_step(
                 params, opt_state, data, subkey, mcmc_width)
@@ -532,6 +541,9 @@ def train(cfg: ml_collections.ConfigDict,
                              pmove=float(np.asarray(pmove)),
                              ewmean=ew.mean, ewstd=ew.std, **extra)
             logging.info("Step %05d: %03.4f E_h", t, loss_host)
+            if profile_window and t - t_init == int(profile_window[1]):
+                jax.block_until_ready(loss_val)
+                jax.profiler.stop_trace()
             if time.time() - time_of_last_ckpt > cfg.log.save_frequency * 60:
                 checkpoint_lib.save(ckpt_save_path, t, jax.device_get(data),
                                     jax.device_get(params),
