@@ -19,11 +19,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from aiqmc_tpu.models import blocks
 from aiqmc_tpu.models.network import AINetData
 
 
 def make_one_rdm(signed_network, nelectrons: int, ndim: int = 3,
-                 electron: int = 0):
+                 electron: int = 0, complex_output: bool = False):
     """Returns rdm(params, data, rprime) -> per-walker psi-ratio row.
 
     rprime: (npoints, ndim) primed positions. Output: (batch, npoints) of
@@ -42,7 +43,9 @@ def make_one_rdm(signed_network, nelectrons: int, ndim: int = 3,
         configs = base * (1.0 - mask)[None] + repl * mask[None]
         phases, mags = jax.vmap(
             lambda x: signed_network(params, x, spins, atoms, charges))(configs)
-        return jnp.exp(mags - mag0) * jnp.cos(phases - phase0)
+        ratio_re, _ = blocks.psi_ratio_real_imag(mags - mag0, phases, phase0,
+                                                 complex_output)
+        return ratio_re
 
     def rdm(params, data: AINetData, rprime: jnp.ndarray) -> jnp.ndarray:
         return jax.vmap(

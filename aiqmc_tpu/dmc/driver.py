@@ -74,6 +74,10 @@ def main(atoms,
                                                                nelectrons)
     up, down = spin_indices.spin_indices_h(spins_arr)
     network_kwargs = dict(network_kwargs or {})
+    # Match the VMC trainer's default (train._build_network): the Pade a-e
+    # cusp Jastrow is auto-disabled for pseudopotential systems (smooth psi at
+    # ECP cores), and the restored param tree must agree.
+    network_kwargs.setdefault("jastrow_ae", Rn_local is None)
     network = nn.make_ai_net(
         ndim=ndim, nelectrons=nelectrons, natoms=natoms, nspins=tuple(nspins),
         charges=jnp.asarray(charges), parallel_indices=par,

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from aiqmc_tpu.hamiltonian import ecp
+from aiqmc_tpu.models import blocks
 from aiqmc_tpu.models.network import AINetData
 
 
@@ -39,7 +40,8 @@ def compute_tmoves(list_l: int,
                    Rn_non_local: jnp.ndarray,
                    Non_local_coes: jnp.ndarray,
                    Non_local_exps: jnp.ndarray,
-                   reference_compat: bool = False):
+                   reference_compat: bool = False,
+                   complex_output: bool = False):
     """Returns tmove(data, params, key) -> (new positions (3N,), move mask)."""
     get_v_l = ecp.get_non_v_l(ndim, nelectrons, natoms, Rn_non_local,
                               Non_local_coes, Non_local_exps,
@@ -80,8 +82,9 @@ def compute_tmoves(list_l: int,
         flat = jnp.reshape(configs, (nelectrons * natoms * nq, -1))
         mags, phases = jax.vmap(logpsi_parts)(flat)
         dmag = jnp.reshape(mags - mag0, (nelectrons, natoms, nq))
-        dphase = jnp.reshape(phases - phase0, (nelectrons, natoms, nq))
-        ratio_re = jnp.exp(dmag) * jnp.cos(dphase)
+        ratio_re, _ = blocks.psi_ratio_real_imag(
+            dmag, jnp.reshape(phases, (nelectrons, natoms, nq)), phase0,
+            complex_output)
 
         p_l = ecp.legendre_stack(cos_theta, list_l,
                                  include_4pi=reference_compat)

@@ -230,9 +230,10 @@ def make_nonlocal_pp_energy(signed_network,
         flat_configs = jnp.reshape(configs, (nelectrons * natoms * nq, -1))
         mags, phases = jax.vmap(logpsi_parts)(flat_configs)
         dmag = jnp.reshape(mags - mag0, (nelectrons, natoms, nq))
-        dphase = jnp.reshape(phases - phase0, (nelectrons, natoms, nq))
-        ratio_re = jnp.exp(dmag) * jnp.cos(dphase)
-        ratio_im = jnp.exp(dmag) * jnp.sin(dphase)
+        from aiqmc_tpu.models import blocks
+        ratio_re, ratio_im = blocks.psi_ratio_real_imag(
+            dmag, jnp.reshape(phases, (nelectrons, natoms, nq)), phase0,
+            complex_output)
 
         p_l = legendre_stack(cos_theta, list_l,
                              include_4pi=reference_compat)  # (L+1,nelec,natoms,nq)

@@ -157,6 +157,28 @@ def slogdet(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return sign, logdet
 
 
+def psi_ratio_real_imag(dmag: jnp.ndarray,
+                        phase_new: jnp.ndarray,
+                        phase_old: jnp.ndarray,
+                        complex_output: bool
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Re, Im) of psi_new/psi_old from (phase, log|psi|) network outputs.
+
+    The network's first output is a true phase ANGLE only for complex
+    wavefunctions; REAL wavefunctions return a SIGN in {-1, +1}
+    (``logdet_matmul``), for which the ratio's sign is the sign PRODUCT —
+    treating the sign as an angle silently maps a sign flip to
+    cos(+-2) = -0.416 instead of -1 and biases every psi-ratio estimator
+    (nonlocal ECP energy, T-moves, one-RDM) wherever the displaced
+    configuration crosses a node.
+    """
+    mag_ratio = jnp.exp(dmag)
+    if complex_output:
+        d = phase_new - phase_old
+        return mag_ratio * jnp.cos(d), mag_ratio * jnp.sin(d)
+    return mag_ratio * phase_new * phase_old, jnp.zeros_like(mag_ratio)
+
+
 def logdet_matmul(xs: Sequence[jnp.ndarray],
                   w: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Combines determinants in the log domain (ref network_blocks.py:161-206).

@@ -65,7 +65,7 @@ def test_nonlocal_s_symmetric_wavefunction():
     def f(params, pos, spins, atoms, charges):
         del params, spins, charges
         r = jnp.linalg.norm(jnp.reshape(pos, (-1, 3)) - atoms[0], axis=-1)
-        return jnp.zeros(()), -jnp.sum(r)  # exp(-sum r_i): s-symmetric
+        return jnp.ones(()), -jnp.sum(r)  # exp(-sum r_i): s-symmetric
 
     nelec, natoms = 1, 1
     nl = ecp.make_nonlocal_pp_energy(
@@ -89,7 +89,7 @@ def test_nonlocal_rotation_invariance_for_s_state():
     def f(params, pos, spins, atoms, charges):
         del params, spins, charges
         r = jnp.linalg.norm(jnp.reshape(pos, (-1, 3)) - atoms[0], axis=-1)
-        return jnp.zeros(()), -jnp.sum(r ** 2)
+        return jnp.ones(()), -jnp.sum(r ** 2)
 
     nl = ecp.make_nonlocal_pp_energy(
         signed_network=f, nelectrons=2, natoms=1, ndim=3, list_l=2,
@@ -105,13 +105,62 @@ def test_nonlocal_rotation_invariance_for_s_state():
     np.testing.assert_allclose(e1, e2, rtol=1e-4)
 
 
+def _pz_network(params, pos, spins, atoms, charges):
+    """Single-electron p_z trial psi = z * exp(-r^2/2): REAL network contract —
+    (sign in {-1,+1}, log|psi|). The sign flips when a quadrature rotation
+    crosses the z=0 node, exercising the sign-product ratio path that
+    s-symmetric oracles (ratio identically 1) never touch."""
+    del params, spins, charges
+    x = jnp.reshape(pos, (-1, 3)) - atoms[0]
+    r2 = jnp.sum(x ** 2)
+    z = x[0, 2]
+    return jnp.sign(z), jnp.log(jnp.abs(z)) - 0.5 * r2
+
+
+def test_nonlocal_p_state_s_channel_is_zero():
+    """The l=0 projector annihilates a pure p state: E_nl must be EXACTLY 0
+    (the 50-pt rule integrates degree-1 polynomials exactly). The historical
+    sign-as-angle bug (cos(+-2) = -0.416 instead of -1 on node crossings)
+    produced a large spurious positive energy here."""
+    nl = ecp.make_nonlocal_pp_energy(
+        signed_network=_pz_network, nelectrons=1, natoms=1, ndim=3, list_l=2,
+        rn_non_local=jnp.asarray(C_RN_NON_LOCAL),
+        non_local_coefficient=jnp.asarray(C_NON_LOCAL_COES),
+        non_local_exponent=jnp.asarray(C_NON_LOCAL_EXPS))
+    for seed, pos in ((0, [0.3, -0.2, 0.4]), (1, [0.1, 0.5, -0.6])):
+        data = AINetData(positions=jnp.array(pos), spins=jnp.array([1.0]),
+                         atoms=jnp.zeros((1, 3)), charges=jnp.array([4.0]))
+        got = float(nl(None, jax.random.PRNGKey(seed), data))
+        r = np.linalg.norm(pos)
+        v0 = 52.13345 * np.exp(-7.76079 * r ** 2)  # scale of the bug signal
+        assert abs(got) < 1e-5 * max(v0, 1.0), got
+
+
+def test_nonlocal_p_state_p_channel_identity():
+    """V_nl on a pure p state with only an l=1 channel is v_1(r) POINTWISE:
+    sum_q w_q 3 P_1(u.w_q) (w_q.z/u.z) = 1 exactly for the octahedral rule."""
+    c, b = 3.7, 1.9
+    nl = ecp.make_nonlocal_pp_energy(
+        signed_network=_pz_network, nelectrons=1, natoms=1, ndim=3, list_l=2,
+        rn_non_local=jnp.asarray([[[2.0], [2.0], [2.0]]]),
+        non_local_coefficient=jnp.asarray([[[0.0], [c], [0.0]]]),
+        non_local_exponent=jnp.asarray([[[1.0], [b], [1.0]]]))
+    pos = [0.3, -0.2, 0.4]
+    data = AINetData(positions=jnp.array(pos), spins=jnp.array([1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([4.0]))
+    got = float(nl(None, jax.random.PRNGKey(3), data))
+    r = np.linalg.norm(pos)
+    want = c * np.exp(-b * r ** 2)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_reference_compat_scaling():
     """reference_compat reproduces the reference's 1/(4 pi) and r^n conventions."""
 
     def f(params, pos, spins, atoms, charges):
         del params, spins, charges
         r = jnp.linalg.norm(jnp.reshape(pos, (-1, 3)) - atoms[0], axis=-1)
-        return jnp.zeros(()), -jnp.sum(r)
+        return jnp.ones(()), -jnp.sum(r)
 
     kwargs = dict(
         signed_network=f, nelectrons=1, natoms=1, ndim=3, list_l=2,
