@@ -110,6 +110,9 @@ def default() -> ml_collections.ConfigDict:
                 "non_local_coes": None,
                 "non_local_exps": None,
                 "reference_compat": False,
+                # "msc50" (reference parity) | "icosahedral12" (ferminet
+                # parity, ~4x cheaper nonlocal quadrature)
+                "quadrature": "msc50",
             },
             "structure": None,          # lattice rows (PBC; ignored otherwise)
             "pbc": False,               # periodic ansatz + Ewald local energy

@@ -53,6 +53,7 @@ def main(atoms,
          save_frequency: float = 10.0,
          structure=None,
          list_l: int = 2,
+         quadrature: str = "msc50",
          network_kwargs: Optional[dict] = None,
          use_tmoves: bool = True,
          seed: int = 1):
@@ -110,7 +111,7 @@ def main(atoms,
             non_local_coes=jnp.asarray(Non_local_coes),
             non_local_exps=jnp.asarray(Non_local_exps), natoms=natoms,
             nelectrons=nelectrons, ndim=ndim, list_l=list_l,
-            complex_output=complex_output)
+            complex_output=complex_output, quadrature=quadrature)
     total_e = jax.jit(calculate_total_energy(localenergy))
     key, subkey = jax.random.split(key)
     _, (e_init, var_init) = total_e(params, subkey, data)
@@ -134,7 +135,7 @@ def main(atoms,
         Rn_non_local=_maybe(Rn_non_local),
         Non_local_coes=_maybe(Non_local_coes),
         Non_local_exps=_maybe(Non_local_exps),
-        complex_output=complex_output,
+        complex_output=complex_output, quadrature=quadrature,
         use_tmoves=use_tmoves and Rn_local is not None))
     jit_branch = jax.jit(branch)
 

@@ -71,7 +71,8 @@ def dmc_propagate(signed_network,
                   Non_local_exps: jnp.ndarray,
                   complex_output: bool = False,
                   laplacian_chunk: Optional[int] = None,
-                  use_tmoves: bool = True):
+                  use_tmoves: bool = True,
+                  quadrature: str = "msc50"):
     """Builds dmc_propagate_run(params, key, data, weights, branchcut, e_trial,
     e_est) -> (eloc_new, weights, new_data) (ref DMC/dmc.py:72-93).
 
@@ -83,7 +84,8 @@ def dmc_propagate(signed_network,
     tmove = compute_tmoves(
         list_l=list_l, tstep=tstep, nelectrons=nelectrons, natoms=natoms,
         ndim=ndim, signed_network=signed_network, Rn_non_local=Rn_non_local,
-        Non_local_coes=Non_local_coes, Non_local_exps=Non_local_exps) \
+        Non_local_coes=Non_local_coes, Non_local_exps=Non_local_exps,
+        complex_output=complex_output, quadrature=quadrature) \
         if (use_tmoves and not all_electron) else None
 
     drift_diffusion = propose_drift_diffusion(
@@ -101,7 +103,7 @@ def dmc_propagate(signed_network,
             rn_non_local=Rn_non_local, non_local_coes=Non_local_coes,
             non_local_exps=Non_local_exps, natoms=natoms, nelectrons=nelectrons,
             ndim=ndim, list_l=list_l, complex_output=complex_output,
-            laplacian_chunk=laplacian_chunk)
+            laplacian_chunk=laplacian_chunk, quadrature=quadrature)
     total_e = calculate_total_energy(localenergy)
 
     def move_walkers(params, key: chex.PRNGKey, data: AINetData):

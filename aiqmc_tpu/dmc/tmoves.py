@@ -41,12 +41,13 @@ def compute_tmoves(list_l: int,
                    Non_local_coes: jnp.ndarray,
                    Non_local_exps: jnp.ndarray,
                    reference_compat: bool = False,
-                   complex_output: bool = False):
+                   complex_output: bool = False,
+                   quadrature: str = "msc50"):
     """Returns tmove(data, params, key) -> (new positions (3N,), move mask)."""
     get_v_l = ecp.get_non_v_l(ndim, nelectrons, natoms, Rn_non_local,
                               Non_local_coes, Non_local_exps,
                               reference_compat=reference_compat)
-    base_points, base_weights = ecp.fused_quadrature()
+    base_points, base_weights = ecp.get_quadrature(quadrature)
     base_points = jnp.asarray(base_points)
     base_weights = jnp.asarray(base_weights)
     nq = base_points.shape[0]

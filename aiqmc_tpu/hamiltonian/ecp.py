@@ -74,6 +74,40 @@ def fused_quadrature() -> Tuple[np.ndarray, np.ndarray]:
     return points, w
 
 
+@functools.lru_cache()
+def icosahedral_quadrature() -> Tuple[np.ndarray, np.ndarray]:
+    """12-point icosahedral rule (spherical 5-design): exact for all spherical
+    harmonics of degree <= 5, i.e. for every ccECP projector l <= 3 against
+    band-limited integrands, at 1/4 the cost of the 50-point rule.
+
+    Parity with the upstream FermiNet ECP path, which integrates the nonlocal
+    projector on a randomly aligned 12-point icosahedral grid
+    (ref ferminet/pseudopotential.py:100-168); the random per-step rotation
+    makes the residual high-harmonic error average to zero over the run.
+    """
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = []
+    for a in (-1.0, 1.0):
+        for b in (-phi, phi):
+            verts.append((0.0, a, b))
+            verts.append((a, b, 0.0))
+            verts.append((b, 0.0, a))
+    pts = np.asarray(verts) / np.sqrt(1.0 + phi * phi)
+    w = np.full(len(pts), 1.0 / len(pts))
+    return pts, w
+
+
+def get_quadrature(name: str = "msc50") -> Tuple[np.ndarray, np.ndarray]:
+    """Named angular rules for the nonlocal projection: 'msc50' (the
+    reference's Mitas-Shirley-Ceperley octahedral 50-point rule) or
+    'icosahedral12' (upstream FermiNet's 12-point spherical 5-design)."""
+    if name == "msc50":
+        return fused_quadrature()
+    if name == "icosahedral12":
+        return icosahedral_quadrature()
+    raise ValueError(f"Unknown ECP quadrature: {name!r}")
+
+
 def get_rot(batch_size: int, key: chex.PRNGKey):
     """Randomly rotated per-class grids, reference API (ref ps.py:233-241)."""
     key, subkey = jax.random.split(key)
@@ -170,7 +204,8 @@ def make_nonlocal_pp_energy(signed_network,
                             non_local_exponent: jnp.ndarray,
                             complex_output: bool = False,
                             reference_compat: bool = False,
-                            pair_output: bool = False) -> Callable:
+                            pair_output: bool = False,
+                            quadrature: str = "msc50") -> Callable:
     """Nonlocal ECP energy for one walker: one batched psi-ratio evaluation.
 
     E_nl = sum_{i,a,l} (2l+1) v_l(r_ia) sum_q w_q P_l(cos theta_q) psi(x')/psi(x)
@@ -179,11 +214,13 @@ def make_nonlocal_pp_energy(signed_network,
 
     ``signed_network`` returns (phase, log|psi|); psi-ratios are assembled from
     the two real parts as (re, im) pairs (TPU-safe, no complex64 needed).
+    ``quadrature``: 'msc50' (reference parity) or 'icosahedral12' (upstream
+    FermiNet parity, ~4x cheaper — the dominant pp-system cost).
     """
     get_v_l = get_non_v_l(ndim, nelectrons, natoms, rn_non_local,
                           non_local_coefficient, non_local_exponent,
                           reference_compat=reference_compat)
-    base_points, base_weights = fused_quadrature()
+    base_points, base_weights = get_quadrature(quadrature)
     base_points = jnp.asarray(base_points)
     base_weights = jnp.asarray(base_weights)
     nq = base_points.shape[0]

@@ -36,7 +36,8 @@ def local_energy(f,
                  reference_compat: bool = False,
                  laplacian_method: str = "default",
                  orbitals_fn=None,
-                 pair_output: bool = False):
+                 pair_output: bool = False,
+                 quadrature: str = "msc50"):
     """Builds e_l(params, key, data) for ccECP systems (ref pphamiltonian.py:130-190).
 
     ``lognetwork`` is accepted for reference API parity but the psi-ratio path
@@ -62,7 +63,7 @@ def local_energy(f,
         list_l=list_l, rn_non_local=rn_non_local,
         non_local_coefficient=non_local_coes, non_local_exponent=non_local_exps,
         complex_output=complex_output, reference_compat=reference_compat,
-        pair_output=pair_output)
+        pair_output=pair_output, quadrature=quadrature)
 
     def _e_l(params, key: chex.PRNGKey, data
              ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:

@@ -193,6 +193,7 @@ def _build_local_energy(cfg, network):
             complex_output=complex_output,
             laplacian_chunk=cfg.optim.laplacian_chunk,
             reference_compat=pp.reference_compat,
+            quadrature=pp.get("quadrature", "msc50"),
             laplacian_method=laplacian_method,
             orbitals_fn=orbitals_fn,
             pair_output=pair_output)

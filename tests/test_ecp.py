@@ -40,6 +40,41 @@ def test_quadrature_integrates_legendre_exactly(l):
         np.testing.assert_allclose(float(integral[l]), 0.0, atol=1e-6)
 
 
+def test_icosahedral_quadrature_5_design():
+    """The 12-point icosahedral rule is a spherical 5-design: weights sum to 1
+    and P_l averages to 0 for l = 1..5 under arbitrary reference axes
+    (ferminet-parity rule, ref ferminet/pseudopotential.py:100-168)."""
+    pts, w = ecp.get_quadrature("icosahedral12")
+    assert pts.shape == (12, 3)
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-12)
+    rng = np.random.RandomState(3)
+    from numpy.polynomial import legendre as L
+    for _ in range(3):
+        u = rng.normal(size=3)
+        u /= np.linalg.norm(u)
+        x = pts @ u
+        for l in range(1, 6):
+            c = np.zeros(l + 1)
+            c[l] = 1.0
+            np.testing.assert_allclose(L.legval(x, c) @ w, 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("quad", ["msc50", "icosahedral12"])
+def test_nonlocal_p_state_quadratures(quad):
+    """Both rules get the p-state projections exactly (degree <= 2)."""
+    nl0 = ecp.make_nonlocal_pp_energy(
+        signed_network=_pz_network, nelectrons=1, natoms=1, ndim=3, list_l=2,
+        rn_non_local=jnp.asarray(C_RN_NON_LOCAL),
+        non_local_coefficient=jnp.asarray(C_NON_LOCAL_COES),
+        non_local_exponent=jnp.asarray(C_NON_LOCAL_EXPS), quadrature=quad)
+    data = AINetData(positions=jnp.array([0.3, -0.2, 0.4]),
+                     spins=jnp.array([1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([4.0]))
+    got = float(nl0(None, jax.random.PRNGKey(5), data))
+    assert abs(got) < 1e-4, got  # l=0 channel annihilates a pure p state
+
+
 def test_local_pp_energy_analytic():
     """Single electron at r from a C ccECP atom: compare to the closed form."""
     nelec, natoms = 1, 1
