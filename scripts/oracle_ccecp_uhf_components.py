@@ -83,13 +83,9 @@ for it in range(300):
     E = 0.5 * (np.sum((hcore + F_up) * g_up) + np.sum((hcore + F_dn) * g_dn))
     _, C2u = np.linalg.eigh(X.T @ F_up @ X)
     _, C2d = np.linalg.eigh(X.T @ F_dn @ X)
-    C_up_new, C_dn_new = X @ C2u, X @ C2d
-    mix = 0.5
     if abs(E - E_old) < 1e-10 and it > 5:
         break
-    C_up = C_up_new if it < 3 else C_up  # damp via density below instead
-    # simple: full step with occasional damping through averaging densities
-    C_up, C_dn = C_up_new, C_dn_new
+    C_up, C_dn = X @ C2u, X @ C2d
     E_old = E
 print(f"UHF(3,1) E = {E:.6f} Ha after {it} iters")
 
