@@ -22,13 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_ewald_potential(lattice: jnp.ndarray,
-                         atoms: jnp.ndarray,
-                         charges: jnp.ndarray,
-                         truncation_limit: int = 5,
-                         include_heg_background: bool = True
-                         ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """Returns f(ae, ee) evaluating the periodic Coulomb energy via Ewald."""
+def make_ewald_sum(lattice: jnp.ndarray, truncation_limit: int = 5
+                   ) -> Tuple[Callable[[jnp.ndarray], jnp.ndarray], jnp.ndarray]:
+    """Returns (ewald_sum(separation) -> periodic pair potential, madelung).
+
+    ewald_sum is the k=0-regularised periodic Coulomb Green's function
+    (erfc-screened real sum + Gaussian-screened reciprocal sum + background);
+    madelung is the self-potential xi of a unit charge interacting with its own
+    images + background (ref ferminet/pbc/hamiltonian.py:72-98)."""
     lattice = jnp.asarray(lattice)
     # Rows of rec are reciprocal vectors: rec @ lattice.T = 2 pi I.
     rec = 2 * jnp.pi * jnp.linalg.inv(lattice).T
@@ -63,7 +64,18 @@ def make_ewald_potential(lattice: jnp.ndarray,
         + (4 * jnp.pi / volume)
         * jnp.sum(jnp.exp(-rec_vec_square / (4 * gamma)) / rec_vec_square)
         - jnp.pi / (volume * gamma))
+    return ewald_sum, madelung_const
 
+
+def make_ewald_potential(lattice: jnp.ndarray,
+                         atoms: jnp.ndarray,
+                         charges: jnp.ndarray,
+                         truncation_limit: int = 5,
+                         include_heg_background: bool = True
+                         ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Returns f(ae, ee) evaluating the periodic Coulomb energy via Ewald."""
+    lattice = jnp.asarray(lattice)
+    ewald_sum, madelung_const = make_ewald_sum(lattice, truncation_limit)
     batch_ewald_sum = jax.vmap(ewald_sum, in_axes=(0,))
 
     def atom_electron_potential(ae: jnp.ndarray) -> jnp.ndarray:

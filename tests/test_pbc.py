@@ -199,3 +199,30 @@ def test_pbc_network_smooth_r_periodic_and_smooth():
     net_mi = build(False)
     assert jump(net) < 30 * eps, "smooth variant must be C^1 at the boundary"
     assert jump(net_mi) > jump(net), "minimum image should kink more"
+
+
+def test_ewald_nacl_madelung_constant():
+    """Absolute-scale oracle: the atom-atom Ewald energy of the 8-atom
+    rock-salt cell must equal -alpha * N_pairs / d with the literature
+    Madelung constant alpha = 1.7475645946 (d = nearest-neighbour distance).
+    Validates the pair - madelung bookkeeping for neutral systems exactly
+    (the translation/dilute-limit tests cannot see constant offsets)."""
+    import jax
+    import numpy as np
+    from aiqmc_tpu.pbc import ewald as ewald_lib
+
+    a = 2.0
+    lat = a * jnp.eye(3)
+    fcc = np.array([[0, 0, 0], [0, .5, .5], [.5, 0, .5], [.5, .5, 0]])
+    atoms = np.concatenate([fcc * a, (fcc + [.5, 0, 0]) * a])
+    charges = np.array([1.0] * 4 + [-1.0] * 4)
+
+    es, xi = ewald_lib.make_ewald_sum(lat, truncation_limit=8)
+    aa = (atoms[None] - atoms[:, None]).reshape(-1, 3)
+    v = np.array(jax.vmap(es)(jnp.asarray(aa))).reshape(8, 8)
+    np.fill_diagonal(v, 0.0)
+    vm = v - float(xi) * (1 - np.eye(8))
+    q = charges[:, None] * charges[None]
+    e_aa = 0.5 * float((q * vm).sum())
+    alpha = 1.7475645946
+    np.testing.assert_allclose(e_aa, 4 * (-alpha / (a / 2)), rtol=2e-6)
