@@ -6,7 +6,7 @@ import pytest
 from aiqmc_tpu import train
 from aiqmc_tpu.configs import (atom, c2_ccecp, c2h4, c_atom_ccecp, ch4,
                                diamond, diatomic, h4, he2, heg, hn,
-                               li_excited, li_wqmc, nh3, organic)
+                               li_excited, li_wqmc, nh3, organic, hcl)
 
 
 def test_atom_config():
@@ -74,6 +74,8 @@ def test_molecule_config_zoo():
     cfg = c2_ccecp.get_config()
     assert cfg.system.use_pp and cfg.system.pp.rn_local.shape == (2, 3)
     assert cfg.system.spins.size == 8
+    cfg = hcl.get_config()
+    assert cfg.system.spins.size == 18 and cfg.system.states == 3
 
 
 def test_heg_config_runs(tmp_path):
