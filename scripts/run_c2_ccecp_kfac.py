@@ -26,7 +26,7 @@ save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c2_kfac"
 
 cfg = c2_ccecp.get_config()
 with cfg.unlocked():
-    cfg.batch_size = 2048
+    cfg.batch_size = 1024
     cfg.network.hidden_dims = ((128, 32),) * 4
     cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)
     cfg.network.determinants = 8
