@@ -89,15 +89,49 @@ def save(save_path: str, t: int, data: AINetData, params, opt_state,
     return ckpt_filename
 
 
+def _diagnose_param_mismatch(target_params, params_bytes) -> Optional[str]:
+    """Human-readable cause when a checkpoint's param tree doesn't match.
+
+    The known footgun: the ``jastrow_ae`` auto-default turned the a-e Jastrow
+    off for pseudopotential systems, so checkpoints saved before that change
+    carry ``jastrow_ae`` params the current network doesn't build (or vice
+    versa). Detect it and tell the user the flag to set.
+    """
+    try:
+        raw = serialization.msgpack_restore(params_bytes)
+    except Exception:  # pylint: disable=broad-except
+        return None
+    if not isinstance(raw, dict) or not isinstance(target_params, dict):
+        return None
+    ckpt_keys = set(raw.keys())
+    net_keys = set(target_params.keys())
+    if ("jastrow_ae" in ckpt_keys) != ("jastrow_ae" in net_keys):
+        want = "True" if "jastrow_ae" in ckpt_keys else "False"
+        return (f"the checkpoint was saved "
+                f"{'with' if 'jastrow_ae' in ckpt_keys else 'without'} an "
+                f"atom-electron Jastrow but the current config builds the "
+                f"network {'without' if 'jastrow_ae' in ckpt_keys else 'with'} "
+                f"one (the jastrow_ae default is now off for use_pp systems). "
+                f"Set cfg.network.jastrow_ae={want} to restore this checkpoint")
+    missing, surplus = ckpt_keys - net_keys, net_keys - ckpt_keys
+    if missing or surplus:
+        return (f"checkpoint params have keys {sorted(missing)} the network "
+                f"lacks; network has keys {sorted(surplus)} the checkpoint "
+                f"lacks")
+    return None
+
+
 def restore(restore_filename: str,
             batch_size: Optional[int] = None,
             target_params=None,
-            target_opt_state=None) -> Tuple[int, AINetData, object, object]:
+            target_opt_state=None
+            ) -> Tuple[int, AINetData, object, object, dict]:
     """Loads a checkpoint, resuming at t+1 (ref checkpoint.py:63-71).
 
     If target pytrees are given, the msgpack payloads are restored into their
     exact container structure; otherwise nested dicts/lists of arrays are
-    returned.
+    returned. The final element is the ``extra`` dict passed to ``save``
+    (e.g. mcmc_width, density state — ref ferminet/checkpoint.py:92-181).
     """
     logging.info("Loading checkpoint %s", restore_filename)
     with open(restore_filename, "rb") as f:
@@ -108,9 +142,18 @@ def restore(restore_filename: str,
             spins=ckpt["spins"],
             atoms=ckpt["atoms"],
             charges=ckpt["charges"])
+        extra = {key[len("extra_"):]: ckpt[key] for key in ckpt.files
+                 if key.startswith("extra_")}
         params_bytes = ckpt["params_msgpack"].tobytes()
         opt_bytes = ckpt["opt_state_msgpack"].tobytes()
         if target_params is not None:
+            # Pre-check key sets: flax from_bytes SILENTLY DROPS checkpoint
+            # keys absent from the target (a checkpoint saved with jastrow_ae
+            # would restore into a jastrow-less network with no error).
+            cause = _diagnose_param_mismatch(target_params, params_bytes)
+            if cause:
+                raise ValueError(
+                    f"Cannot restore {restore_filename}: {cause}.")
             params = serialization.from_bytes(target_params, params_bytes)
         else:
             params = serialization.msgpack_restore(params_bytes)
@@ -135,4 +178,4 @@ def restore(restore_filename: str,
         raise ValueError(
             f"Checkpoint batch size {data.positions.shape[0]} does not match"
             f" requested batch size {batch_size}.")
-    return t, data, params, opt_state
+    return t, data, params, opt_state, extra

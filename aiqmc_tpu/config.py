@@ -73,9 +73,19 @@ def default() -> ml_collections.ConfigDict:
                                     # (C^inf at the WS boundary) vs minimum image
         "jastrow_ae": None,         # None = auto: a-e cusp Jastrow only for
                                     # all-electron systems (wrong at ECP cores)
+        "jastrow_ee": "pade",       # pade (ref AIQMC, per-pair alpha) |
+                                    # simple_ee (ref ferminet/jastrows.py) | none
             "jastrow_scale": None,      # None = 1/nelectrons (exact at det level)
             "matmul_dtype": "float32",  # float32 | bfloat16 (h-stream matmuls)
             "network_type": "ainet",    # ainet | psiformer
+            # Importlib plugin hooks (ref ferminet/base_config.py:36-297,
+            # train.py:440-467): "module.path.function" strings, resolved at
+            # build time. Factories receive (natoms, nspins, ndim, **kwargs) /
+            # (**kwargs) and return a FeatureLayer / (init, apply) envelope.
+            "make_feature_layer_fn": "",
+            "make_feature_layer_kwargs": {},
+            "make_envelope_fn": "",
+            "make_envelope_kwargs": {},
             "psiformer": {
                 "num_layers": 2,
                 "num_heads": 4,
@@ -100,6 +110,11 @@ def default() -> ml_collections.ConfigDict:
             "nspins": None,             # (n_up, n_down)
             "states": 0,                # K>0: NES-VMC total ansatz of K states
             "ndim": 3,
+            # Importlib plugin hook (ref ferminet/train.py:688-702): factory
+            # called as fn(f=, charges=, nspins=, use_scan=, complex_output=,
+            # **kwargs) returning e_l(params, key, data) -> (E_L, aux).
+            "make_local_energy_fn": "",
+            "make_local_energy_kwargs": {},
             "use_pp": False,
             "pp": {
                 "list_l": 2,
@@ -129,6 +144,9 @@ def default() -> ml_collections.ConfigDict:
         "observables": {
             "s2": False,                # spin magnitude <S^2>
             "dipole": False,            # electric dipole moment
+            "density": False,           # one-RDM via auxiliary r' chain;
+                                        # state+accumulation checkpointed
+            "density_mcmc_steps": 10,   # r' RW-MH sweeps per stats step
         },
         "log": {
             "save_path": "",

@@ -88,7 +88,7 @@ def main(atoms,
 
     key, subkey = jax.random.split(key)
     params_init = network.init(subkey)
-    t_init, data, params, _ = checkpoint_lib.restore(
+    t_init, data, params, _, _ = checkpoint_lib.restore(
         ckpt_restore_filename, batch_size, target_params=params_init)
     data = nn.AINetData(
         positions=jnp.asarray(data.positions), spins=jnp.asarray(data.spins),

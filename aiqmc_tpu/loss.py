@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from aiqmc_tpu.models.network import AINetData, ParamTree
-from aiqmc_tpu.optim import curvature
+
+# The reference registers psi with kfac_jax here
+# (kfac_jax.register_normal_predictive_distribution, ref Loss/loss.py:260-266)
+# so jaxpr pattern-matching can find the predictive distribution. The native
+# KFAC (optim/kfac.py) instruments layers directly via the activation tape in
+# models/blocks.py, so no registration call is needed anywhere in this module.
 
 
 @chex.dataclass
@@ -55,8 +60,10 @@ def clip_local_values(local_values: jnp.ndarray,
 
     if pair_output:
         if clip_from_median:
+            # Im centers at 0, matching the complex path where the clip center
+            # is the median of the REAL parts (whose .imag is exactly 0).
             center = jnp.stack([jnp.median(local_values[:, 0]),
-                                jnp.mean(local_values[:, 1])])
+                                jnp.zeros(())])
         else:
             center = mean_local_values
         clipped = clip_at_total_variation(local_values, center[None], clip_scale)
@@ -196,8 +203,6 @@ def make_loss(network,
                            + jnp.dot(clipped_el[:, 1], pt_i))
             term2 = jnp.dot(ce[:, 0] if ce.shape[0] > 1 else
                             jnp.broadcast_to(ce[:, 0], pt_r.shape), pt_r)
-            curvature.register_normal_predictive_distribution(
-                psi_primal[:, 0][:, None])
             primals_out = loss, aux_data
             tangents_out = ((term1 - 2.0 * term2) / device_batch_size, aux_data)
         elif complex_output:
@@ -205,11 +210,9 @@ def make_loss(network,
             term1 = (jnp.dot(clipped_el, jnp.conjugate(psi_tangent)) +
                      jnp.dot(jnp.conjugate(clipped_el), psi_tangent))
             term2 = jnp.sum(aux_data.clipped_energy * psi_tangent.real)
-            curvature.register_normal_predictive_distribution(psi_primal.real[:, None])
             primals_out = loss.real, aux_data
             tangents_out = ((term1 - 2 * term2).real / device_batch_size, aux_data)
         else:
-            curvature.register_normal_predictive_distribution(psi_primal[:, None])
             primals_out = loss, aux_data
             tangents_out = (jnp.dot(psi_tangent, diff) / device_batch_size, aux_data)
         return primals_out, tangents_out
@@ -291,7 +294,6 @@ def make_wqmc_loss(network,
             out = batch_network(params_, pos_, spins_, atoms_, charges_)
             if pair_output:
                 out = out[:, 0]  # guiding distribution |psi|^2: log|psi| only
-            curvature.register_normal_predictive_distribution(out[:, None])
             return out.sum()
 
         score = jax.grad(log_q, argnums=1)
@@ -314,7 +316,10 @@ def make_wqmc_loss(network,
             log_q_tangent_out += (diff[:, 0] * psi_tangent[:, 0]
                                   + diff[:, 1] * psi_tangent[:, 1])
         else:
-            log_q_tangent_out += diff * psi_tangent
+            # Conjugated form Re<conj(diff), dpsi>, the standard energy-gradient
+            # formula — identical to the pair path above (a real wavefunction is
+            # unaffected: conj/Re are no-ops).
+            log_q_tangent_out += (jnp.conjugate(diff) * psi_tangent).real
         primals_out = loss, aux_data
         tangents_out = (log_q_tangent_out.mean(), aux_data)
         return primals_out, tangents_out

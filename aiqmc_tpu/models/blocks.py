@@ -228,15 +228,16 @@ def logdet_matmul_pair(xs: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
                 det1_r, det1_i = r, i
             else:
                 det1_r, det1_i = det1_r * r - det1_i * i, det1_r * i + det1_i * r
-    cos, sin, logdet = None, None, 0
+    # Identity init (cos=1, sin=0, logdet=0) keeps this correct when every
+    # block is 1x1 (single-electron-per-spin systems): the >1x1 loop then
+    # contributes nothing and det1_{r,i} alone carries the determinant, like
+    # logdet_matmul's reduce with identity init.
+    cos, sin, logdet = 1.0, 0.0, 0.0
     for xr, xi in xs:
         if xr.shape[-1] > 1:
             c, s, ld = fast_slogdet.slogdet_pair(xr, xi)
-            if cos is None:
-                cos, sin, logdet = c, s, ld
-            else:
-                cos, sin, logdet = cos * c - sin * s, cos * s + sin * c, logdet + ld
-    maxlogdet = jnp.max(logdet)
+            cos, sin, logdet = cos * c - sin * s, cos * s + sin * c, logdet + ld
+    maxlogdet = jnp.max(jnp.asarray(logdet))
     scale = jnp.exp(logdet - maxlogdet)
     det_r, det_i = cos * scale, sin * scale
     if det1_r is not None:

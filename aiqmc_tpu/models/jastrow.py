@@ -16,8 +16,10 @@ import numpy as np
 
 
 class JastrowType(enum.Enum):
-    """Available Jastrow factors (ref Jastrow.py:11-13)."""
+    """Available Jastrow factors (ref Jastrow.py:11-13 +
+    ferminet/jastrows.py:25-30)."""
     PADE = enum.auto()
+    SIMPLE_EE = enum.auto()
     NONE = enum.auto()
 
 
@@ -49,6 +51,46 @@ def make_pade_ee_jastrow():
         j_par = jnp.sum(pade_ee_cusp_fun(r_par, 0.25, params["ee_par"]))
         j_anti = jnp.sum(pade_ee_cusp_fun(r_anti, 0.5, params["ee_anti"]))
         return j_par + j_anti
+
+    return init, apply
+
+
+def make_simple_ee_jastrow():
+    """Simple e-e cusp Jastrow: -(cusp * alpha^2) / (alpha + r) with ONE shared
+    alpha per spin channel (ref ferminet/jastrows.py:63-90). Same cusp values
+    as Pade (0.25 parallel, 0.5 antiparallel); d/dr at r=0 = cusp for any
+    alpha."""
+
+    def simple_ee_cusp_fun(r, cusp, alpha):
+        alpha = jnp.abs(alpha) + 1e-6  # alpha < 0 would pole at r = -alpha
+        return -(cusp * alpha ** 2) / (alpha + r)
+
+    def init(n_parallel: int, n_antiparallel: int) -> Mapping[str, jnp.ndarray]:
+        del n_parallel, n_antiparallel  # one shared alpha per channel
+        return {"ee_par": jnp.ones(shape=(1,)), "ee_anti": jnp.ones(shape=(1,))}
+
+    def apply(r_ee: jnp.ndarray, params, parallel_indices: np.ndarray,
+              antiparallel_indices: np.ndarray) -> jnp.ndarray:
+        r_par = r_ee[parallel_indices[0], parallel_indices[1]]
+        r_anti = r_ee[antiparallel_indices[0], antiparallel_indices[1]]
+        j_par = jnp.sum(simple_ee_cusp_fun(r_par, 0.25, params["ee_par"]))
+        j_anti = jnp.sum(simple_ee_cusp_fun(r_anti, 0.5, params["ee_anti"]))
+        return j_par + j_anti
+
+    return init, apply
+
+
+def make_null_ee_jastrow():
+    """No e-e Jastrow (ref ferminet/jastrows.py JastrowType.NONE)."""
+
+    def init(n_parallel: int, n_antiparallel: int) -> Mapping[str, jnp.ndarray]:
+        del n_parallel, n_antiparallel
+        return {}
+
+    def apply(r_ee: jnp.ndarray, params, parallel_indices: np.ndarray,
+              antiparallel_indices: np.ndarray) -> jnp.ndarray:
+        del params, parallel_indices, antiparallel_indices
+        return jnp.zeros((), dtype=r_ee.dtype)
 
     return init, apply
 
@@ -104,10 +146,21 @@ def make_null_ae_jastrow():
 
 
 def get_jastrow(charges: jnp.ndarray, per_electron_ae: bool = True,
-                include_ae: bool = True
+                include_ae: bool = True, ee_type: str = "pade"
                 ) -> Tuple[object, object, object, object]:
-    """Returns (ee_init, ee_apply, ae_init, ae_apply) (ref Jastrow.py:132-135)."""
-    jastrow_ee_init, jastrow_ee_apply = make_pade_ee_jastrow()
+    """Returns (ee_init, ee_apply, ae_init, ae_apply) (ref Jastrow.py:132-135).
+
+    ee_type: 'pade' (reference AIQMC, per-pair alpha) | 'simple_ee'
+    (ref ferminet/jastrows.py:63-100, shared alpha) | 'none'.
+    """
+    if ee_type == "pade":
+        jastrow_ee_init, jastrow_ee_apply = make_pade_ee_jastrow()
+    elif ee_type == "simple_ee":
+        jastrow_ee_init, jastrow_ee_apply = make_simple_ee_jastrow()
+    elif ee_type == "none":
+        jastrow_ee_init, jastrow_ee_apply = make_null_ee_jastrow()
+    else:
+        raise ValueError(f"Unknown e-e Jastrow type: {ee_type}")
     if include_ae:
         jastrow_ae_init, jastrow_ae_apply = make_pade_ae_jastrow(
             charges, per_electron=per_electron_ae)

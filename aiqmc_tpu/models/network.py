@@ -290,16 +290,26 @@ def make_orbitals(nspins: Tuple[int, int],
                   bounded_envelope: bool = False,
                   jastrow_scale: Optional[float] = None,
                   jastrow_ae: bool = True,
+                  jastrow_ee: str = "pade",
                   lattice: Optional[jnp.ndarray] = None,
                   envelope_type: str = "pp_like",
                   envelope_kwargs: Optional[dict] = None,
+                  envelope=None,
                   pbc_smooth_r: bool = False):
     """(Complex) orbitals x envelope x Y-orbitals x Jastrows (ref nn.py:356-508)."""
     equivariant_layers_init, equivariant_layers_apply = equivariant_layers
     (jastrow_ee_init, jastrow_ee_apply, jastrow_ae_init, jastrow_ae_apply
      ) = jastrow_lib.get_jastrow(charges, per_electron_ae=not full_equivariance,
-                                 include_ae=jastrow_ae)
-    if envelope_type == "pp_like":
+                                 include_ae=jastrow_ae, ee_type=jastrow_ee)
+    if envelope is not None:
+        # Plugin-supplied envelope (ref ferminet/train.py:455-467
+        # make_envelope_fn): an (init, apply) pair or an object with
+        # .init/.apply attributes.
+        if isinstance(envelope, tuple):
+            envelope_init, envelope_apply = envelope
+        else:
+            envelope_init, envelope_apply = envelope.init, envelope.apply
+    elif envelope_type == "pp_like":
         envelope_init, envelope_apply = envelope_lib.make_pp_like_envelope(
             per_electron=not full_equivariance, bounded=bounded_envelope)
     else:
@@ -337,13 +347,15 @@ def make_orbitals(nspins: Tuple[int, int],
         params["jastrow_ee"] = jastrow_ee_init(
             n_parallel=n_parallel, n_antiparallel=n_antiparallel)
         params["jastrow_ae"] = jastrow_ae_init(nelectrons=nelectrons, natoms=natoms)
-        if envelope_type == "pp_like":
+        if envelope is None and envelope_type == "pp_like":
             params["envelope"] = envelope_init(
                 natom=natoms,
                 nelectrons=(determinants * nelectrons if full_equivariance
                             else nelectrons),
                 ndim=ndim)
         else:
+            # Zoo/plugin convention (ref ferminet/envelopes.py): one parameter
+            # set per orbital column.
             params["envelope"] = envelope_init(
                 natom=natoms, norb=determinants * nelectrons, ndim=ndim)
         return params
@@ -480,19 +492,26 @@ def make_ai_net(nspins: Tuple[int, int],
                 bounded_envelope: bool = False,
                 jastrow_scale: Optional[float] = None,
                 jastrow_ae: bool = True,
+                jastrow_ee: str = "pade",
                 regular_harmonics: bool = False,
                 lattice: Optional[jnp.ndarray] = None,
                 envelope_type: str = "pp_like",
                 envelope_kwargs: Optional[dict] = None,
                 use_schnet: bool = False,
                 h_stream: str = "ainet",
-                pbc_smooth_r: bool = False) -> Network:
+                pbc_smooth_r: bool = False,
+                feature_layer: Optional[FeatureLayer] = None,
+                envelope=None) -> Network:
     """Builds the AI-Net (ref nn.py:511-553). See module docstring for options.
 
     ``lattice`` (rows = primitive vectors) switches to the periodic ansatz:
     sin/cos phase features (ref ferminet/pbc/feature_layer.py; the AIQMC tree's
     g-vector variant is PBC/nnPBC.py) and minimum-image displacements for the
     Y_nlm stream, envelope and Jastrows.
+
+    ``feature_layer`` / ``envelope``: plugin-supplied overrides resolved from
+    config strings (ref ferminet/train.py:440-467 make_feature_layer_fn /
+    make_envelope_fn importlib hooks).
     """
     spin_up_indices = np.asarray(spin_up_indices).reshape(-1)
     spin_down_indices = np.asarray(spin_down_indices).reshape(-1)
@@ -500,13 +519,16 @@ def make_ai_net(nspins: Tuple[int, int],
     antiparallel_indices = np.asarray(antiparallel_indices)
 
     if lattice is not None:
-        from aiqmc_tpu.pbc.features import make_pbc_feature_layer
         lattice = jnp.asarray(lattice)
-        feature_layer = make_pbc_feature_layer(
-            natoms, ndim=ndim, rescale_inputs=rescale_inputs, lattice=lattice)
-    else:
-        feature_layer = make_ainet_features(
-            natoms, ndim=ndim, rescale_inputs=rescale_inputs)
+    if feature_layer is None:
+        if lattice is not None:
+            from aiqmc_tpu.pbc.features import make_pbc_feature_layer
+            feature_layer = make_pbc_feature_layer(
+                natoms, ndim=ndim, rescale_inputs=rescale_inputs,
+                lattice=lattice)
+        else:
+            feature_layer = make_ainet_features(
+                natoms, ndim=ndim, rescale_inputs=rescale_inputs)
     equivariant_layers = make_ai_net_layers(
         nspins, nelectrons, natoms, tuple(hidden_dims), tuple(hidden_dims_Ynlm),
         feature_layer, spin_up_indices, spin_down_indices,
@@ -524,9 +546,10 @@ def make_ai_net(nspins: Tuple[int, int],
         full_equivariance=full_equivariance, complex_orbitals=complex_orbitals,
         complex_pairs=complex_pairs,
         bounded_envelope=bounded_envelope, jastrow_scale=jastrow_scale,
-        jastrow_ae=jastrow_ae,
+        jastrow_ae=jastrow_ae, jastrow_ee=jastrow_ee,
         lattice=lattice, envelope_type=envelope_type,
-        envelope_kwargs=envelope_kwargs, pbc_smooth_r=pbc_smooth_r)
+        envelope_kwargs=envelope_kwargs, envelope=envelope,
+        pbc_smooth_r=pbc_smooth_r)
 
     def init(key: chex.PRNGKey) -> ParamTree:
         _, subkey = jax.random.split(key)

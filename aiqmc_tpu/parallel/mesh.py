@@ -38,16 +38,33 @@ def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
-def shard_walkers(tree: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
+def shard_walkers(tree: Any, mesh: Mesh, axis_name: str = DATA_AXIS,
+                  from_process_local: Optional[bool] = None) -> Any:
     """Places every array in ``tree`` with its leading axis sharded over the mesh.
 
     Walker data (positions, spins, per-walker atoms/charges) all carry a leading
     global batch axis; this distributes them so each chip holds batch/n_devices
     walkers, the TPU-native analogue of the reference's reshape-to
     ``[ndevices, device_batch, ...]`` + pmap (``main_pp_adam_muti_GPU.py:81-94``).
+
+    from_process_local: arrays are each host's LOCAL shard (host_batch_size
+    leading rows) and the global sharded array is assembled with
+    ``jax.make_array_from_process_local_data`` — required in a true
+    multi-process run, where plain ``device_put`` of a host-local array cannot
+    construct a globally-sharded array (ref multi-host accounting
+    ``main_pp_adam_muti_GPU.py:52-63``). Default: auto (process_count > 1).
     """
     sharding = data_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if from_process_local is None:
+        from_process_local = jax.process_count() > 1
+
+    def put(x):
+        if from_process_local:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
@@ -66,9 +83,13 @@ class BatchInfo:
     device_batch_size: int
 
 
-def host_batch_info(batch_size: int) -> BatchInfo:
-    num_local = jax.local_device_count()
-    num_total = jax.device_count()
+def host_batch_info(batch_size: int,
+                    num_total: Optional[int] = None,
+                    num_local: Optional[int] = None) -> BatchInfo:
+    """Global/host/device batch split. ``num_total``/``num_local`` override the
+    live topology (unit-testing multi-process accounting without a cluster)."""
+    num_local = jax.local_device_count() if num_local is None else num_local
+    num_total = jax.device_count() if num_total is None else num_total
     num_hosts = num_total // num_local
     if batch_size % num_total != 0:
         raise ValueError(

@@ -38,6 +38,7 @@ from aiqmc_tpu.models import spin_indices
 from aiqmc_tpu.optim import adam as adam_lib
 from aiqmc_tpu.optim import kfac as kfac_lib
 from aiqmc_tpu.parallel import mesh as mesh_lib
+from aiqmc_tpu.parallel import multi_host
 from aiqmc_tpu.sampling import drift_diffusion, mcmc as rw_mcmc
 from aiqmc_tpu.sampling.init_electrons import init_electrons
 from aiqmc_tpu.utils import writers
@@ -65,6 +66,22 @@ def _envelope_kwargs(cfg, nelectrons: int):
     from aiqmc_tpu.pbc import kpoints as kpoints_lib
     return {"kpoints": kpoints_lib.make_envelope_kpoints(
         np.asarray(cfg.system.structure), nelectrons)}
+
+
+def _resolve_plugin(path: str):
+    """Resolves a 'module.sub.function' config string via importlib
+    (ref ferminet/train.py:440-467,688-702 plugin hooks)."""
+    import importlib
+    module_name, fn_name = path.rsplit(".", 1)
+    return getattr(importlib.import_module(module_name), fn_name)
+
+
+def _plugin_kwargs(cfg_value) -> dict:
+    if cfg_value is None:
+        return {}
+    if isinstance(cfg_value, ml_collections.ConfigDict):
+        return cfg_value.to_dict()
+    return dict(cfg_value)
 
 
 def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
@@ -129,7 +146,21 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         jastrow_ae=(cfg.network.get("jastrow_ae", None)
                     if cfg.network.get("jastrow_ae", None) is not None
                     else not cfg.system.use_pp),
-        jastrow_scale=cfg.network.get("jastrow_scale", None))
+        jastrow_scale=cfg.network.get("jastrow_scale", None),
+        jastrow_ee=cfg.network.get("jastrow_ee", "pade"),
+        # Importlib plugin hooks (ref ferminet/train.py:440-467): config
+        # strings naming factories for a custom feature layer / envelope.
+        feature_layer=(
+            _resolve_plugin(cfg.network.make_feature_layer_fn)(
+                natoms=int(np.asarray(cfg.system.atoms).shape[0]),
+                nspins=tuple(cfg.system.nspins), ndim=cfg.system.ndim,
+                **_plugin_kwargs(
+                    cfg.network.get("make_feature_layer_kwargs", None)))
+            if cfg.network.get("make_feature_layer_fn", "") else None),
+        envelope=(
+            _resolve_plugin(cfg.network.make_envelope_fn)(
+                **_plugin_kwargs(cfg.network.get("make_envelope_kwargs", None)))
+            if cfg.network.get("make_envelope_fn", "") else None))
     states = cfg.system.get("states", 0)
     if states:
         if cfg.network.get("complex_pairs", False):
@@ -150,6 +181,18 @@ def _build_local_energy(cfg, network):
     pair_output = complex_output and cfg.network.get("complex_pairs", False)
     laplacian_method = cfg.optim.get("laplacian", "default")
     orbitals_fn = network.orbitals if laplacian_method == "forward" else None
+    if cfg.system.get("make_local_energy_fn", ""):
+        # Importlib plugin hook (ref ferminet/train.py:688-702): the named
+        # factory receives the signed network and system info and returns
+        # e_l(params, key, data) -> (E_L, aux).
+        make_local_energy = _resolve_plugin(cfg.system.make_local_energy_fn)
+        return make_local_energy(
+            f=network.apply,
+            charges=jnp.asarray(cfg.system.charges),
+            nspins=tuple(cfg.system.nspins),
+            use_scan=False,
+            complex_output=complex_output,
+            **_plugin_kwargs(cfg.system.get("make_local_energy_kwargs", None)))
     states = cfg.system.get("states", 0)
     if states:
         # NES-VMC energy matrix over the K-state total ansatz
@@ -389,6 +432,9 @@ def train(cfg: ml_collections.ConfigDict,
         seed = cfg.debug.seed
     else:
         seed = int(1e6 * time.time()) % (2 ** 31)
+    # All hosts must agree on the RNG stream (ref main_pp_adam_muti_GPU.py:61-63,
+    # multihost_utils.broadcast_one_to_all); no-op in a single-process run.
+    seed = multi_host.broadcast_seed(seed)
     key = jax.random.PRNGKey(seed)
 
     atoms = jnp.asarray(cfg.system.atoms)
@@ -407,6 +453,13 @@ def train(cfg: ml_collections.ConfigDict,
         checkpoint_lib.find_last_checkpoint(ckpt_restore_path))
 
     key, subkey = jax.random.split(key)
+    # Each host initialises only ITS host_batch_size walkers from a
+    # host-distinct key; shard_walkers assembles the global array from the
+    # process-local shards (single-host: host batch == global batch, key
+    # untouched — bit-identical to the single-process path).
+    local_batch = info.host_batch_size
+    if info.num_hosts > 1:
+        subkey = jax.random.fold_in(subkey, jax.process_index())
     states = cfg.system.get("states", 0)
     if states:
         # One independently-initialised electron set per state, stacked along
@@ -415,31 +468,48 @@ def train(cfg: ml_collections.ConfigDict,
         for s in range(states):
             pos_s, spins_out = init_electrons(
                 jax.random.fold_in(subkey, s), cfg.system.structure, atoms,
-                charges, spins, batch_size=cfg.batch_size,
+                charges, spins, batch_size=local_batch,
                 init_width=cfg.mcmc.init_width)
             state_pos.append(pos_s)
         pos = jnp.concatenate(state_pos, axis=-1)
     else:
         pos, spins_out = init_electrons(
             subkey, cfg.system.structure, atoms, charges, spins,
-            batch_size=cfg.batch_size, init_width=cfg.mcmc.init_width)
+            batch_size=local_batch, init_width=cfg.mcmc.init_width)
     data = nn.AINetData(positions=pos, spins=spins_out, atoms=atoms,
                         charges=charges)
 
+    # Build-time templates always carry GLOBAL shapes (jit traces the global
+    # program under GSPMD even when each host holds only its local shard).
+    if info.num_hosts > 1:
+        data_template = nn.AINetData(
+            positions=jnp.zeros((cfg.batch_size,) + tuple(pos.shape[1:]),
+                                pos.dtype),
+            spins=spins_out, atoms=atoms, charges=charges)
+    else:
+        data_template = data
     components = make_training_components(
         cfg, network, cfg.batch_size, params_template=params,
-        data_template=data)
+        data_template=data_template)
     mc_step = components.mc_step
     combined_step = components.combined_step
     opt_state = components.init(params)
     t_init = 0
 
+    ckpt_extra = {}
     if ckpt_restore_filename:
-        t_init, rdata, params, opt_state = checkpoint_lib.restore(
+        t_init, rdata, params, opt_state, ckpt_extra = checkpoint_lib.restore(
             ckpt_restore_filename, cfg.batch_size,
             target_params=params, target_opt_state=opt_state)
+        rpos = jnp.asarray(rdata.positions)
+        if info.num_hosts > 1:
+            # Checkpoints hold the GLOBAL walker batch; each host takes its
+            # contiguous slice before shard_walkers reassembles the global
+            # sharded array from process-local shards.
+            pi = jax.process_index()
+            rpos = rpos[pi * local_batch:(pi + 1) * local_batch]
         data = nn.AINetData(
-            positions=jnp.asarray(rdata.positions),
+            positions=rpos,
             spins=jnp.asarray(rdata.spins),
             atoms=jnp.asarray(rdata.atoms),
             charges=jnp.asarray(rdata.charges))
@@ -458,7 +528,8 @@ def train(cfg: ml_collections.ConfigDict,
             pp_cfg=cfg.system.pp if cfg.system.use_pp else None)
         opt_state = components.init(params)
 
-    # Distribute: walkers sharded, params/opt state replicated.
+    # Distribute: walkers sharded (assembled from process-local shards in a
+    # multi-process run), params/opt state replicated.
     data = nn.AINetData(
         positions=mesh_lib.shard_walkers(data.positions, mesh),
         spins=mesh_lib.replicate(data.spins, mesh),
@@ -466,12 +537,19 @@ def train(cfg: ml_collections.ConfigDict,
         charges=mesh_lib.replicate(data.charges, mesh))
     params = mesh_lib.replicate(params, mesh)
     opt_state = mesh_lib.replicate(opt_state, mesh)
+    # All hosts must hold identical params after init/restore
+    # (ref ferminet/utils/multi_host.py:22-44); no-op single-host.
+    multi_host.check_synced(params)
 
     jit_step = jax.jit(combined_step, donate_argnums=(1, 2))
 
     # Adaptive proposal width for the random-walk sampler
-    # (ref ferminet/mcmc.py:293-327, train.py:862-894).
-    mcmc_width = jnp.asarray(float(cfg.mcmc.move_width))
+    # (ref ferminet/mcmc.py:293-327, train.py:862-894); width resumes from the
+    # checkpoint (ref ferminet/checkpoint.py:92-181 saves mcmc_width).
+    if "mcmc_width" in ckpt_extra:
+        mcmc_width = jnp.asarray(float(ckpt_extra["mcmc_width"]))
+    else:
+        mcmc_width = jnp.asarray(float(cfg.mcmc.move_width))
     pmoves_buf = np.zeros(cfg.mcmc.adapt_frequency)
 
     # Burn-in: MCMC only (ref ferminet/train.py:820-838 pattern).
@@ -484,6 +562,7 @@ def train(cfg: ml_collections.ConfigDict,
 
     # Optional observables (ref ferminet/train.py:599-641 wiring).
     obs_fns = {}
+    density = None
     if cfg.get("observables", None):
         from aiqmc_tpu import observables as obs_lib
         if cfg.observables.s2:
@@ -492,6 +571,45 @@ def train(cfg: ml_collections.ConfigDict,
         if cfg.observables.dipole:
             obs_fns["dipole"] = jax.jit(obs_lib.make_observable_fns(
                 obs_lib.make_dipole(network.apply)))
+        if cfg.observables.get("density", False):
+            # One-RDM with the auxiliary r' chain; chain state + running
+            # accumulation live in the checkpoint so a resumed run continues
+            # accumulating (ref ferminet/train.py:599-641, observables.py:32-64).
+            from aiqmc_tpu import density as density_lib
+            d_init, d_update, d_estimator = density_lib.make_one_rdm_aux(
+                network.apply, np.asarray(cfg.system.atoms),
+                np.asarray(cfg.system.charges), tuple(cfg.system.nspins),
+                mcmc_steps=cfg.observables.get("density_mcmc_steps", 10))
+            if "density_positions" in ckpt_extra:
+                d_state = density_lib.DensityState(
+                    t=jnp.asarray(ckpt_extra["density_t"]),
+                    positions=jnp.asarray(ckpt_extra["density_positions"]),
+                    probabilities=jnp.asarray(
+                        ckpt_extra["density_probabilities"]),
+                    move_width=jnp.asarray(ckpt_extra["density_move_width"]))
+                rho_accum = np.asarray(ckpt_extra["density_rho_accum"])
+                rho_count = int(ckpt_extra["density_rho_count"])
+            else:
+                key, subkey = jax.random.split(key)
+                d_state = d_init(subkey, data)
+                rho_accum, rho_count = None, 0
+            density = {"update": jax.jit(d_update), "est": jax.jit(d_estimator),
+                       "state": d_state, "accum": rho_accum,
+                       "count": rho_count}
+
+    def _ckpt_extra():
+        extra = {"mcmc_width": np.asarray(mcmc_width)}
+        if density is not None:
+            s = density["state"]
+            extra.update(
+                density_t=np.asarray(s.t),
+                density_positions=np.asarray(s.positions),
+                density_probabilities=np.asarray(s.probabilities),
+                density_move_width=np.asarray(s.move_width),
+                density_rho_accum=np.asarray(
+                    density["accum"] if density["accum"] is not None else 0.0),
+                density_rho_count=np.asarray(density["count"]))
+        return extra
 
     schema = ["step", "energy", "variance", "pmove", "ewmean", "ewstd"]
     n_states = cfg.system.get("states", 0)
@@ -513,11 +631,14 @@ def train(cfg: ml_collections.ConfigDict,
     # cfg.log.profile_steps = (start, stop) captures a trace viewable in
     # TensorBoard/XProf under <save_path>/profile.
     profile_window = cfg.log.get("profile_steps", None)
+    profiling = False
     with writer_manager as writer:
         for t in range(t_init, t_init + cfg.optim.iterations):
-            if profile_window and t - t_init == int(profile_window[0]):
+            if (profile_window and not profiling
+                    and t - t_init == int(profile_window[0])):
                 jax.profiler.start_trace(
                     os.path.join(ckpt_save_path, "profile"))
+                profiling = True
             key, subkey = jax.random.split(key)
             params, opt_state, data, loss_val, stats, pmove = jit_step(
                 params, opt_state, data, subkey, mcmc_width)
@@ -533,6 +654,15 @@ def train(cfg: ml_collections.ConfigDict,
             if t % cfg.log.stats_frequency == 0:
                 extra = {name: float(np.asarray(fn(params, data)).reshape(-1)[0])
                          for name, fn in obs_fns.items()}
+                if density is not None:
+                    key, subkey = jax.random.split(key)
+                    density["state"] = density["update"](
+                        params, density["state"], subkey)
+                    rho = np.asarray(
+                        density["est"](params, data, density["state"]))
+                    density["accum"] = (rho if density["accum"] is None
+                                        else density["accum"] + rho)
+                    density["count"] += 1
                 if state_cols:
                     se = np.asarray(stats["state_energies"]).reshape(-1)
                     extra.update({c: float(v)
@@ -542,17 +672,28 @@ def train(cfg: ml_collections.ConfigDict,
                              pmove=float(np.asarray(pmove)),
                              ewmean=ew.mean, ewstd=ew.std, **extra)
             logging.info("Step %05d: %03.4f E_h", t, loss_host)
-            if profile_window and t - t_init == int(profile_window[1]):
+            if profiling and t - t_init >= int(profile_window[1]):
                 jax.block_until_ready(loss_val)
                 jax.profiler.stop_trace()
+                profiling = False
             if time.time() - time_of_last_ckpt > cfg.log.save_frequency * 60:
                 checkpoint_lib.save(ckpt_save_path, t, jax.device_get(data),
                                     jax.device_get(params),
-                                    jax.device_get(opt_state))
+                                    jax.device_get(opt_state),
+                                    extra=_ckpt_extra())
                 time_of_last_ckpt = time.time()
+        if profiling:
+            # Training ended (or the window overshot iterations) with the
+            # trace still open — close it so the capture isn't lost.
+            jax.block_until_ready(loss_val)
+            jax.profiler.stop_trace()
+            profiling = False
         checkpoint_lib.save(ckpt_save_path, t_init + cfg.optim.iterations - 1,
                             jax.device_get(data), jax.device_get(params),
-                            jax.device_get(opt_state))
+                            jax.device_get(opt_state), extra=_ckpt_extra())
+        if density is not None and density["count"] > 0:
+            np.save(os.path.join(ckpt_save_path, "density_rdm.npy"),
+                    density["accum"] / density["count"])
 
     return TrainResult(network=network, params=params, data=data,
                        opt_state=opt_state, energies=np.asarray(energies),

@@ -41,7 +41,7 @@ cfg = config_lib.resolve(cfg)
 network, _ = train_lib._build_network(cfg)
 
 target_params = network.init(jax.random.PRNGKey(0))
-t, data, params, opt_state = ckpt_lib.restore(ckpt_file,
+t, data, params, opt_state, _ = ckpt_lib.restore(ckpt_file,
                                               target_params=target_params)
 print("restored step", t)
 params = jax.tree.map(lambda x: np.asarray(x), params)

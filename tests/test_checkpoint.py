@@ -24,7 +24,7 @@ def test_save_restore_roundtrip(tmp_path):
     found = checkpoint.find_last_checkpoint(str(tmp_path))
     assert found == path
 
-    t, data2, params2, opt_state2 = checkpoint.restore(
+    t, data2, params2, opt_state2, _ = checkpoint.restore(
         found, batch_size=4, target_params=params, target_opt_state=opt_state)
     assert t == 8
     np.testing.assert_array_equal(np.asarray(data2.positions),
@@ -44,7 +44,7 @@ def test_restore_without_targets(tmp_path):
                      atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
     checkpoint.save(str(tmp_path), 0, data, params, {"dummy": jnp.zeros(1)})
     found = checkpoint.find_last_checkpoint(str(tmp_path))
-    t, _, params2, _ = checkpoint.restore(found)
+    t, _, params2, _, _ = checkpoint.restore(found)
     assert t == 1
     np.testing.assert_array_equal(np.asarray(params2["w"]), np.ones((2, 2)))
 
@@ -60,3 +60,35 @@ def test_batch_size_mismatch_raises(tmp_path):
     except ValueError:
         return
     raise AssertionError("expected ValueError on batch mismatch")
+
+
+def test_extras_roundtrip(tmp_path):
+    """mcmc_width / density-state extras survive the roundtrip
+    (ref ferminet/checkpoint.py:92-181 payload extras)."""
+    params = {"w": jnp.ones((2, 2))}
+    data = AINetData(positions=jnp.ones((2, 6)), spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    extra = {"mcmc_width": np.asarray(0.37),
+             "density_positions": np.arange(6.0).reshape(2, 3),
+             "density_rho_count": np.asarray(5)}
+    checkpoint.save(str(tmp_path), 3, data, params, {}, extra=extra)
+    found = checkpoint.find_last_checkpoint(str(tmp_path))
+    _, _, _, _, extra2 = checkpoint.restore(found)
+    assert set(extra2) == set(extra)
+    for k in extra:
+        np.testing.assert_array_equal(extra2[k], extra[k])
+
+
+def test_param_mismatch_diagnosis(tmp_path):
+    """A jastrow_ae presence mismatch produces an actionable error
+    (the jastrow_ae auto-default changed for use_pp systems)."""
+    import pytest
+    saved = {"streams": {"w": jnp.ones((2, 2))},
+             "jastrow_ae": {"alpha": jnp.ones((3,))}}
+    data = AINetData(positions=jnp.ones((2, 6)), spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    checkpoint.save(str(tmp_path), 0, data, saved, {})
+    found = checkpoint.find_last_checkpoint(str(tmp_path))
+    target = {"streams": {"w": jnp.zeros((2, 2))}}  # network built WITHOUT it
+    with pytest.raises(ValueError, match="jastrow_ae=True"):
+        checkpoint.restore(found, target_params=target)

@@ -156,3 +156,45 @@ def test_train_complex_pairs_end_to_end(tmp_path):
         cfg.log.save_frequency = 1e9
     result = train.train(cfg)
     assert np.all(np.isfinite(result.energies))
+
+
+def test_logdet_matmul_pair_all_1x1_blocks():
+    """Single-electron-per-spin systems produce only 1x1 determinant blocks;
+    the pair path must match the complex logdet_matmul (round-1 advisor
+    finding: cos/sin stayed None and crashed)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from aiqmc_tpu.models import blocks
+
+    rng = np.random.RandomState(0)
+    ndet = 4
+    xr = [rng.randn(ndet, 1, 1).astype(np.float32) for _ in range(2)]
+    xi = [rng.randn(ndet, 1, 1).astype(np.float32) for _ in range(2)]
+    phase, log = blocks.logdet_matmul_pair(
+        [(jnp.asarray(r), jnp.asarray(i)) for r, i in zip(xr, xi)])
+    want_phase, want_log = blocks.logdet_matmul(
+        [r + 1j * i for r, i in zip(xr, xi)])
+    np.testing.assert_allclose(float(log), float(want_log), rtol=1e-5)
+    np.testing.assert_allclose(float(phase), float(want_phase), rtol=1e-5)
+
+
+def test_logdet_matmul_pair_mixed_1x1_and_big_blocks():
+    import jax.numpy as jnp
+    import numpy as np
+    from aiqmc_tpu.models import blocks
+
+    rng = np.random.RandomState(1)
+    ndet = 3
+    big_r = rng.randn(ndet, 3, 3).astype(np.float32)
+    big_i = rng.randn(ndet, 3, 3).astype(np.float32)
+    one_r = rng.randn(ndet, 1, 1).astype(np.float32)
+    one_i = rng.randn(ndet, 1, 1).astype(np.float32)
+    phase, log = blocks.logdet_matmul_pair(
+        [(jnp.asarray(big_r), jnp.asarray(big_i)),
+         (jnp.asarray(one_r), jnp.asarray(one_i))])
+    want_phase, want_log = blocks.logdet_matmul(
+        [big_r + 1j * big_i, one_r + 1j * one_i])
+    np.testing.assert_allclose(float(log), float(want_log), rtol=1e-4)
+    # phases equal mod 2pi
+    d = (float(phase) - float(want_phase)) % (2 * np.pi)
+    assert min(d, 2 * np.pi - d) < 1e-4

@@ -216,3 +216,26 @@ def test_jastrow_ae_off_smooth_at_core():
     np.testing.assert_allclose(g_on, -4.0 * np.ones((2, 1)), rtol=1e-2)
     g_off = jax.grad(lambda rr: ae_apply_off(rr, p_off))(r)
     np.testing.assert_allclose(g_off, 0.0)
+
+
+def test_simple_ee_jastrow_option():
+    """SIMPLE_EE Jastrow (ref ferminet/jastrows.py:63-100): shared alpha per
+    channel, correct cusp slope, and antisymmetry preserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aiqmc_tpu.models import jastrow as jastrow_lib
+
+    init, apply = jastrow_lib.make_simple_ee_jastrow()
+    params = init(n_parallel=1, n_antiparallel=2)
+    assert params["ee_par"].shape == (1,)
+    par = np.array([[0], [1]])
+    anti = np.array([[0, 1], [2, 2]])
+
+    # cusp: dJ/dr at r->0 equals the cusp constant.
+    def j_of_r(r):
+        r_ee = jnp.full((3, 3), 10.0).at[0, 1].set(r)
+        return apply(r_ee, params, par, anti)
+
+    g = jax.grad(j_of_r)(1e-6)
+    np.testing.assert_allclose(float(g), 0.25, rtol=1e-4)
