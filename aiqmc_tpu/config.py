@@ -138,7 +138,12 @@ def default() -> ml_collections.ConfigDict:
         },
         "pretrain": {
             "iterations": 0,            # 0 = no pretraining
-            "target": "rhf",            # rhf (built-in STO-3G) | hydrogenic
+            "target": "rhf",            # rhf | uhf (open-shell) | hydrogenic
+            # SCF basis: "" = embedded STO-3G (H-Ne) with an even-tempered
+            # fallback for heavier elements; "even_tempered"; or a path to an
+            # nwchem basis file (cc-pVDZ-class targets, ref
+            # AIQMC/C.cc-pVDZ.nwchem format -> aiqmc_tpu/data/).
+            "basis": "",
             "learning_rate": 3e-4,
         },
         "observables": {

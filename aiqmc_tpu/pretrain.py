@@ -138,17 +138,32 @@ def make_pretrain_step(network_orbitals,
     return step
 
 
-def make_rhf_targets(atoms, charges, nspins: Tuple[int, int]) -> TargetOrbitals:
-    """Hartree-Fock pretraining targets from the built-in STO-3G RHF solver
-    (utils/scf.py; the reference uses pyscf for this, ferminet/pretrain.py:34)."""
+def make_rhf_targets(atoms, charges, nspins: Tuple[int, int],
+                     basis=None) -> TargetOrbitals:
+    """Hartree-Fock pretraining targets from the built-in RHF solver
+    (utils/scf.py; the reference uses pyscf for this, ferminet/pretrain.py:34).
+
+    basis: any gto.build_basis spec — None (STO-3G H-Ne, even-tempered
+    fallback for heavier elements), "even_tempered", or an nwchem basis file
+    path for cc-pVDZ-class targets (ref AIQMC/C.cc-pVDZ.nwchem format)."""
     from aiqmc_tpu.utils import scf as scf_lib
     nelectrons = sum(nspins)
     # RHF needs an even count; run on the nearest closed shell and take the
     # lowest n_up / n_dn orbitals for open shells.
     n_rhf = nelectrons if nelectrons % 2 == 0 else nelectrons + 1
     result = scf_lib.run_rhf(np.asarray(atoms), np.asarray(charges),
-                             nelectrons=n_rhf)
+                             nelectrons=n_rhf, basis=basis)
     return scf_lib.make_rhf_orbitals(result, nspins)
+
+
+def make_uhf_targets(atoms, charges, nspins: Tuple[int, int],
+                     basis=None) -> TargetOrbitals:
+    """Open-shell UHF pretraining targets: per-spin occupied orbitals
+    (ref ferminet/utils/scf.py restricted=False path)."""
+    from aiqmc_tpu.utils import scf as scf_lib
+    result = scf_lib.run_uhf(np.asarray(atoms), np.asarray(charges),
+                             nspins=nspins, basis=basis)
+    return scf_lib.make_uhf_orbitals(result, nspins)
 
 
 def make_ecp_rhf_targets(atoms, z_eff, pp_cfg, nspins: Tuple[int, int],
@@ -184,9 +199,12 @@ def pretrain_orbitals(network,
                       target: str = "rhf",
                       key: Optional[chex.PRNGKey] = None,
                       params=None,
-                      pp_cfg=None):
+                      pp_cfg=None,
+                      basis=None):
     """Pretrains network orbitals (ref pretrain.py:230-311). Returns
-    (params, data). target: 'rhf' (STO-3G HF, default) or 'hydrogenic'.
+    (params, data). target: 'rhf' (default), 'uhf' (open-shell per-spin
+    orbitals) or 'hydrogenic'; ``basis`` selects the SCF basis (None =
+    STO-3G/even-tempered, or an nwchem file path for cc-pVDZ-class targets).
     With pp_cfg set, 'rhf' targets come from the valence ECP-RHF."""
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -194,16 +212,20 @@ def pretrain_orbitals(network,
         key, subkey = jax.random.split(key)
         params = network.init(subkey)
     if target_fn is None:
-        if target == "rhf":
+        if target in ("rhf", "uhf"):
             try:
                 if pp_cfg is not None:
                     target_fn = make_ecp_rhf_targets(
                         np.asarray(data.atoms), np.asarray(data.charges),
                         pp_cfg, nspins)
+                elif target == "uhf":
+                    target_fn = make_uhf_targets(
+                        np.asarray(data.atoms), np.asarray(data.charges),
+                        nspins, basis=basis)
                 else:
                     target_fn = make_rhf_targets(
                         np.asarray(data.atoms), np.asarray(data.charges),
-                        nspins)
+                        nspins, basis=basis)
             except ValueError:
                 target_fn = None
         if target_fn is None:

@@ -525,7 +525,8 @@ def train(cfg: ml_collections.ConfigDict,
             iterations=cfg.pretrain.iterations,
             learning_rate=cfg.pretrain.learning_rate,
             target=cfg.pretrain.target, key=subkey, params=params,
-            pp_cfg=cfg.system.pp if cfg.system.use_pp else None)
+            pp_cfg=cfg.system.pp if cfg.system.use_pp else None,
+            basis=cfg.pretrain.get("basis", None) or None)
         opt_state = components.init(params)
 
     # Distribute: walkers sharded (assembled from process-local shards in a

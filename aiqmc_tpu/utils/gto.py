@@ -85,6 +85,9 @@ _SHELL_LMN = {
     "p": [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
     # Cartesian d set (6 components, includes the s-contaminant combination).
     "d": [(2, 0, 0), (0, 2, 0), (0, 0, 2), (1, 1, 0), (1, 0, 1), (0, 1, 1)],
+    # Cartesian f set (10 components).
+    "f": [(3, 0, 0), (0, 3, 0), (0, 0, 3), (2, 1, 0), (2, 0, 1), (1, 2, 0),
+          (0, 2, 1), (1, 0, 2), (0, 1, 2), (1, 1, 1)],
 }
 
 
@@ -105,22 +108,86 @@ def _prim_norm(alpha: float, lmn) -> float:
     return num / np.sqrt(df(l) * df(m) * df(n))
 
 
-def build_basis(atoms: np.ndarray, charges: np.ndarray) -> List[Primitive]:
-    """Builds the STO-3G basis for a molecule (atoms in bohr)."""
-    basis: List[Primitive] = []
+def make_even_tempered_shells(z: int, n_s: int = 10, n_p: int = 6,
+                              n_d: int = 0) -> List[tuple]:
+    """Uncontracted even-tempered shells alpha0 * beta^k for element Z.
+
+    Data-free fallback covering ANY element (the embedded STO-3G table stops
+    at Ne): spans exponents from the diffuse valence scale up past the 1s core
+    scale ~Z^2, geometric ratio beta. An uncontracted even-tempered set of
+    this size bounds the atomic RHF energy far tighter than a minimal basis
+    (validated against known HF limits in tests/test_scf.py), which is all a
+    pretraining target needs.
+    """
+    shells = []
+    alpha_max_s = 50.0 * max(z, 1) ** 2
+    alpha_min_s = 0.05
+    beta = (alpha_max_s / alpha_min_s) ** (1.0 / max(n_s - 1, 1))
+    shells += [("s", [(alpha_min_s * beta ** k, 1.0)]) for k in range(n_s)]
+    if n_p > 0:
+        alpha_max_p = 5.0 * max(z, 1) ** 2
+        alpha_min_p = 0.05
+        beta_p = (alpha_max_p / alpha_min_p) ** (1.0 / max(n_p - 1, 1))
+        shells += [("p", [(alpha_min_p * beta_p ** k, 1.0)])
+                   for k in range(n_p)]
+    shells += [("d", [(0.1 * 4.0 ** k, 1.0)]) for k in range(n_d)]
+    return shells
+
+
+def _shells_for(z: int, symbol: str, basis) -> List[tuple]:
+    """Resolves the shell table for one element under the ``basis`` spec."""
+    if basis is None:
+        if z in STO3G:
+            return STO3G[z]
+        return make_even_tempered_shells(z)
+    if isinstance(basis, str):
+        if basis.lower() in ("sto-3g", "sto3g"):
+            if z not in STO3G:
+                raise ValueError(f"No embedded STO-3G data for Z={z}")
+            return STO3G[z]
+        if basis.lower() in ("even_tempered", "even-tempered"):
+            return make_even_tempered_shells(z)
+        # Otherwise a path to an nwchem basis file.
+        from aiqmc_tpu.utils import basis_io
+        basis = basis_io.read_nwchem_basis(basis)
+    # Dict: keyed by element symbol (nwchem) or atomic number.
+    if symbol in basis:
+        return basis[symbol]
+    if z in basis:
+        return basis[z]
+    raise ValueError(f"Basis has no entry for element {symbol} (Z={z})")
+
+
+def build_basis(atoms: np.ndarray, charges: np.ndarray,
+                basis=None) -> List[Primitive]:
+    """Builds the Gaussian basis for a molecule (atoms in bohr).
+
+    basis: None (embedded STO-3G for H-Ne, even-tempered fallback beyond) |
+    "sto-3g" | "even_tempered" | path to an nwchem basis file (cc-pVDZ-class
+    pretraining targets, ref ferminet/pretrain.py:34-61 arbitrary-basis HF;
+    format per AIQMC/C.cc-pVDZ.nwchem) | a parsed {symbol: shells} dict.
+    """
+    from aiqmc_tpu.utils import elements
+    if isinstance(basis, str) and basis.lower() not in (
+            "sto-3g", "sto3g", "even_tempered", "even-tempered"):
+        from aiqmc_tpu.utils import basis_io
+        basis = basis_io.read_nwchem_basis(basis)
+    basis_spec = basis
+    basis_out: List[Primitive] = []
     for center, z in zip(np.asarray(atoms, dtype=float), charges):
         z = int(round(float(z)))
-        if z not in STO3G:
-            raise ValueError(f"No embedded STO-3G data for Z={z}")
-        for shell, prims in STO3G[z]:
+        element = elements.ATOMIC_NUMS.get(z)
+        symbol = element.symbol if element else f"Z{z}"
+        for shell, prims in _shells_for(z, symbol, basis_spec):
             exps = np.array([a for a, _ in prims])
             coefs = np.array([c for _, c in prims])
             for lmn in _SHELL_LMN[shell]:
                 norms = np.array([_prim_norm(a, lmn) for a in exps])
                 cn = coefs * norms
                 # normalise the contracted function
-                basis.append(Primitive(center=np.asarray(center), lmn=lmn,
-                                       exps=exps, coefs=cn))
+                basis_out.append(Primitive(center=np.asarray(center), lmn=lmn,
+                                           exps=exps, coefs=cn))
+    basis = basis_out
     # contraction self-overlap normalisation
     for b in basis:
         s = 0.0

@@ -41,8 +41,14 @@ def nuclear_repulsion(atoms: np.ndarray, charges: np.ndarray) -> float:
 
 def run_rhf(atoms, charges, nelectrons: Optional[int] = None,
             max_iter: int = 100, tol: float = 1e-8,
-            damping: float = 0.3) -> RhfResult:
-    """Closed-shell RHF. nelectrons defaults to sum(charges) and must be even."""
+            damping: float = 0.3, basis=None) -> RhfResult:
+    """Closed-shell RHF. nelectrons defaults to sum(charges) and must be even.
+
+    basis: any spec accepted by gto.build_basis (None = embedded STO-3G with
+    even-tempered fallback; "sto-3g"; "even_tempered"; nwchem file path;
+    parsed dict) — the arbitrary-basis capability of the reference's
+    pyscf-backed SCF (ref ferminet/utils/scf.py:53-301).
+    """
     atoms = np.asarray(atoms, dtype=float)
     charges = np.asarray(charges, dtype=float)
     if nelectrons is None:
@@ -52,7 +58,7 @@ def run_rhf(atoms, charges, nelectrons: Optional[int] = None,
                          "pretraining targets for open shells")
     nocc = nelectrons // 2
 
-    basis = gto.build_basis(atoms, charges)
+    basis = gto.build_basis(atoms, charges, basis=basis)
     S = gto.overlap_matrix(basis)
     T = gto.kinetic_matrix(basis)
     V = gto.nuclear_matrix(basis, atoms, charges)
@@ -126,6 +132,100 @@ def make_rhf_orbitals(result: RhfResult, nspins: Tuple[int, int]):
         ao_d = gto.eval_basis(basis, xd)
         phi_u = ao_u @ mo[:, :nup]
         phi_d = ao_d @ mo[:, :nspins[1]] if nspins[1] > 0 else jnp.zeros((0, 0))
+        return phi_u, phi_d
+
+    return targets
+
+
+@dataclasses.dataclass
+class UhfResult:
+    """Unrestricted HF solution (per-spin MO coefficients)."""
+    energy: float
+    mo_coeff: Tuple[np.ndarray, np.ndarray]   # (alpha, beta), each (nb, nb)
+    mo_energy: Tuple[np.ndarray, np.ndarray]
+    nocc: Tuple[int, int]
+    basis: object
+    converged: bool
+
+
+def run_uhf(atoms, charges, nspins: Tuple[int, int],
+            max_iter: int = 200, tol: float = 1e-8,
+            damping: float = 0.3, basis=None) -> UhfResult:
+    """Open-shell UHF (Pople-Nesbet) on the native integrals.
+
+    The reference gets UHF from pyscf for open-shell pretraining targets
+    (ref ferminet/utils/scf.py:53-301 `restricted=False`); this is the native
+    equivalent over the same basis specs as run_rhf. A tiny symmetry-breaking
+    perturbation on the beta guess avoids the RHF saddle point.
+    """
+    atoms = np.asarray(atoms, dtype=float)
+    charges = np.asarray(charges, dtype=float)
+    n_up, n_dn = int(nspins[0]), int(nspins[1])
+
+    basis = gto.build_basis(atoms, charges, basis=basis)
+    S = gto.overlap_matrix(basis)
+    T = gto.kinetic_matrix(basis)
+    V = gto.nuclear_matrix(basis, atoms, charges)
+    eri = gto.eri_tensor(basis)
+    hcore = T + V
+
+    w, U = np.linalg.eigh(S)
+    X = U @ np.diag(w ** -0.5) @ U.T
+
+    def solve(F):
+        Fp = X.T @ F @ X
+        eps, Cp = np.linalg.eigh(Fp)
+        return eps, X @ Cp
+
+    def density(C, nocc):
+        Cocc = C[:, :nocc]
+        return Cocc @ Cocc.T
+
+    # Core guess; perturb the beta channel to break alpha/beta symmetry.
+    eps_a, Ca = solve(hcore)
+    eps_b, Cb = solve(hcore + 1e-3 * np.diag(np.arange(len(S))))
+    Da, Db = density(Ca, n_up), density(Cb, n_dn)
+
+    e_old, converged = 0.0, False
+    e_elec = 0.0
+    for it in range(max_iter):
+        J = np.einsum("ijkl,kl->ij", eri, Da + Db)
+        Ka = np.einsum("ikjl,kl->ij", eri, Da)
+        Kb = np.einsum("ikjl,kl->ij", eri, Db)
+        Fa, Fb = hcore + J - Ka, hcore + J - Kb
+        eps_a, Ca = solve(Fa)
+        eps_b, Cb = solve(Fb)
+        Da_new, Db_new = density(Ca, n_up), density(Cb, n_dn)
+        if it > 0:
+            Da_new = (1 - damping) * Da_new + damping * Da
+            Db_new = (1 - damping) * Db_new + damping * Db
+        Da, Db = Da_new, Db_new
+        e_elec = 0.5 * (np.sum((Da + Db) * hcore)
+                        + np.sum(Da * Fa) + np.sum(Db * Fb))
+        if abs(e_elec - e_old) < tol and it > 1:
+            converged = True
+            break
+        e_old = e_elec
+    energy = e_elec + nuclear_repulsion(atoms, charges)
+    return UhfResult(energy=float(energy), mo_coeff=(Ca, Cb),
+                     mo_energy=(eps_a, eps_b), nocc=(n_up, n_dn),
+                     basis=basis, converged=converged)
+
+
+def make_uhf_orbitals(result: UhfResult, nspins: Tuple[int, int]):
+    """Pretraining target from UHF: each spin channel uses ITS OWN occupied
+    orbitals (correct open-shell targets, unlike the doubled-RHF fallback)."""
+    mo_a = jnp.asarray(result.mo_coeff[0])
+    mo_b = jnp.asarray(result.mo_coeff[1])
+    basis = result.basis
+
+    def targets(pos: jnp.ndarray):
+        x = jnp.reshape(pos, (-1, 3))
+        nup = nspins[0]
+        xu, xd = x[:nup], x[nup:]
+        phi_u = gto.eval_basis(basis, xu) @ mo_a[:, :nup]
+        phi_d = (gto.eval_basis(basis, xd) @ mo_b[:, :nspins[1]]
+                 if nspins[1] > 0 else jnp.zeros((0, 0)))
         return phi_u, phi_d
 
     return targets

@@ -1,5 +1,8 @@
 """Flagship trial: C atom ccECP VMC at published-FermiNet capacity.
 
+Sized to a session: 12000 iterations at ~0.55 it/s on one v5e chip (~6 h);
+same LR schedule as runs/c_kfac5 so the capacity effect is isolated.
+
 (256,32)x4 h-stream, 16 determinants, batch 2048, native KFAC, ECP-RHF
 pretraining — the capacity at which published FermiNet-class VMC reaches
 -5.4254 Ha (exact/DMC -5.434). Round-1 result with the half-size net
@@ -18,7 +21,7 @@ import numpy as np
 from aiqmc_tpu import train as train_lib
 from aiqmc_tpu.configs import c_atom_ccecp
 
-iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 30000
+iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c_kfac_big"
 
 cfg = c_atom_ccecp.get_config()
@@ -37,7 +40,7 @@ with cfg.unlocked():
     cfg.system.pp.quadrature = "icosahedral12"
     cfg.optim.iterations = iterations
     cfg.optim.kfac.lr.rate = 0.05
-    cfg.optim.kfac.lr.delay = 10000.0
+    cfg.optim.kfac.lr.delay = 3000.0
     cfg.pretrain.iterations = 1000
     cfg.mcmc.tstep = 0.25
     cfg.mcmc.steps = 10
