@@ -131,6 +131,9 @@ def default() -> ml_collections.ConfigDict:
             },
             "structure": None,          # lattice rows (PBC; ignored otherwise)
             "pbc": False,               # periodic ansatz + Ewald local energy
+            # Fractional twist theta in [-1/2,1/2)^3 (pbc/twist.py TABC);
+            # nonzero twists require complex_orbitals (complex_pairs on TPU).
+            "twist": (0.0, 0.0, 0.0),
             "ewald": {
                 "truncation_limit": 5,
                 "heg": False,

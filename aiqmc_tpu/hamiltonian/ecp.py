@@ -121,24 +121,45 @@ def get_rot(batch_size: int, key: chex.PRNGKey):
 # Radial channels (ref pseudopotential.py:86-165).
 # ---------------------------------------------------------------------------
 
+def min_image(ae: jnp.ndarray, lattice) -> jnp.ndarray:
+    """Minimum-image displacement(s) under a periodic lattice (rows =
+    primitive vectors); identity when lattice is None."""
+    if lattice is None:
+        return ae
+    inv = jnp.linalg.inv(lattice)
+    frac = ae @ inv
+    return (frac - jnp.round(frac)) @ lattice
+
+
 def local_pp_energy(nelectrons: int,
                     natoms: int,
                     ndim: int,
                     rn_local: jnp.ndarray,
                     local_coefficient: jnp.ndarray,
-                    local_exponent: jnp.ndarray) -> Callable:
+                    local_exponent: jnp.ndarray,
+                    lattice=None,
+                    coulomb: bool = True) -> Callable:
     """V_loc(r) = -Z_eff/r + sum_k c_k r^(n_k - 2) exp(-e_k r^2)
-    (ref pseudopotential.py:86-117). Returns fn(data) -> (nelec, natoms)."""
+    (ref pseudopotential.py:86-117). Returns fn(data) -> (nelec, natoms).
+
+    lattice: evaluate at the minimum-image displacement (periodic systems).
+    coulomb=False drops the -Z_eff/r term — used under PBC where the periodic
+    Coulomb part lives in the Ewald sum and only the short-ranged Gaussian
+    correction V_loc + Z_eff/r remains here (it decays within ~1 bohr for
+    ccECPs, so one nearest image suffices)."""
     rn = jnp.asarray(rn_local) - 2  # (natoms, K)
     coes = jnp.asarray(local_coefficient)
     exps = jnp.asarray(local_exponent)
 
     def pp_local_part_energy(data) -> jnp.ndarray:
         ae = jnp.reshape(data.positions, [-1, 1, ndim]) - data.atoms[None, ...]
+        ae = min_image(ae, lattice)
         r_ae = jnp.linalg.norm(ae, axis=-1)  # (nelec, natoms)
-        part1 = -1 * data.charges / r_ae
         r = r_ae[..., None]  # (nelec, natoms, 1)
         part2 = jnp.sum(coes * r ** rn * jnp.exp(-exps * jnp.square(r)), axis=-1)
+        if not coulomb:
+            return part2
+        part1 = -1 * data.charges / r_ae
         return part1 + part2
 
     return pp_local_part_energy
@@ -150,7 +171,8 @@ def get_non_v_l(ndim: int,
                 rn_non_local: jnp.ndarray,
                 non_local_coefficient: jnp.ndarray,
                 non_local_exponent: jnp.ndarray,
-                reference_compat: bool = False) -> Callable:
+                reference_compat: bool = False,
+                lattice=None) -> Callable:
     """Nonlocal radial functions v_l(r) (ref pseudopotential.py:134-165).
 
     Returns fn(data) -> (nelec, natoms, n_l). In standard mode the ccECP radial
@@ -164,6 +186,7 @@ def get_non_v_l(ndim: int,
 
     def get_non_local_coe(data) -> jnp.ndarray:
         ae = jnp.reshape(data.positions, [-1, 1, ndim]) - data.atoms[None, ...]
+        ae = min_image(ae, lattice)
         r_ae = jnp.linalg.norm(ae, axis=-1)  # (nelec, natoms)
         r = r_ae[:, :, None, None]  # (nelec, natoms, 1, 1)
         val = coes[None] * r ** rn[None] * jnp.exp(-exps[None] * jnp.square(r))
@@ -205,7 +228,8 @@ def make_nonlocal_pp_energy(signed_network,
                             complex_output: bool = False,
                             reference_compat: bool = False,
                             pair_output: bool = False,
-                            quadrature: str = "msc50") -> Callable:
+                            quadrature: str = "msc50",
+                            lattice=None) -> Callable:
     """Nonlocal ECP energy for one walker: one batched psi-ratio evaluation.
 
     E_nl = sum_{i,a,l} (2l+1) v_l(r_ia) sum_q w_q P_l(cos theta_q) psi(x')/psi(x)
@@ -219,7 +243,7 @@ def make_nonlocal_pp_energy(signed_network,
     """
     get_v_l = get_non_v_l(ndim, nelectrons, natoms, rn_non_local,
                           non_local_coefficient, non_local_exponent,
-                          reference_compat=reference_compat)
+                          reference_compat=reference_compat, lattice=lattice)
     base_points, base_weights = get_quadrature(quadrature)
     base_points = jnp.asarray(base_points)
     base_weights = jnp.asarray(base_weights)
@@ -229,6 +253,12 @@ def make_nonlocal_pp_energy(signed_network,
         pos = data.positions
         x = jnp.reshape(pos, (nelectrons, ndim))
         ae = x[:, None, :] - data.atoms[None, :, :]  # (nelec, natoms, 3)
+        ae = min_image(ae, lattice)
+        # Under PBC the projector acts about each atom's NEAREST image: the
+        # effective atom centre for electron i is x_i - ae_mi.
+        atom_centres = (x[:, None, :] - ae if lattice is not None
+                        else jnp.broadcast_to(data.atoms[None, :, :],
+                                              ae.shape))
         r_ae = jnp.linalg.norm(ae, axis=-1)  # (nelec, natoms)
         u = ae / r_ae[..., None]
 
@@ -243,7 +273,7 @@ def make_nonlocal_pp_energy(signed_network,
             # coordinate origin (ref pseudopotential.py:288-313).
             new_e = r_ae[..., None, None] * pts[None, None]  # (nelec,natoms,nq,3)
         else:
-            new_e = (data.atoms[None, :, None, :] +
+            new_e = (atom_centres[:, :, None, :] +
                      r_ae[..., None, None] * pts[None, None])
 
         # Build all displaced configurations: (nelec, natoms, nq, 3N).

@@ -161,6 +161,17 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
             _resolve_plugin(cfg.network.make_envelope_fn)(
                 **_plugin_kwargs(cfg.network.get("make_envelope_kwargs", None)))
             if cfg.network.get("make_envelope_fn", "") else None))
+    twist = np.asarray(cfg.system.get("twist", (0.0, 0.0, 0.0)), dtype=float)
+    if cfg.system.get("pbc", False) and np.any(twist != 0.0):
+        if not cfg.network.complex_orbitals:
+            raise ValueError(
+                "Nonzero twists need a complex wavefunction: set "
+                "cfg.network.complex_orbitals=True (+ complex_pairs=True for "
+                "the TPU-safe representation)")
+        from aiqmc_tpu.pbc import twist as twist_lib
+        network = twist_lib.apply_twist(
+            network, np.asarray(cfg.system.structure), twist,
+            ndim=cfg.system.ndim)
     states = cfg.system.get("states", 0)
     if states:
         if cfg.network.get("complex_pairs", False):
@@ -205,6 +216,33 @@ def _build_local_energy(cfg, network):
             nelectrons=int(np.asarray(cfg.system.spins).size),
             ndim=cfg.system.ndim)
     if cfg.system.get("pbc", False):
+        if cfg.system.use_pp:
+            # Valence-only periodic system: Ewald with Z_eff + short-range
+            # ccECP channels at minimum image (hamiltonian/pp_pbc.py).
+            from aiqmc_tpu.hamiltonian import pp_pbc
+            pp = cfg.system.pp
+            return pp_pbc.local_energy(
+                f=network.apply,
+                charges=jnp.asarray(cfg.system.charges),
+                nspins=tuple(cfg.system.nspins),
+                lattice=jnp.asarray(cfg.system.structure),
+                rn_local=jnp.asarray(pp.rn_local),
+                local_coes=jnp.asarray(pp.local_coes),
+                local_exps=jnp.asarray(pp.local_exps),
+                rn_non_local=jnp.asarray(pp.rn_non_local),
+                non_local_coes=jnp.asarray(pp.non_local_coes),
+                non_local_exps=jnp.asarray(pp.non_local_exps),
+                natoms=int(np.asarray(cfg.system.atoms).shape[0]),
+                nelectrons=int(np.asarray(cfg.system.spins).size),
+                ndim=cfg.system.ndim,
+                list_l=pp.list_l,
+                complex_output=complex_output,
+                convergence_radius=cfg.system.ewald.truncation_limit,
+                laplacian_chunk=cfg.optim.laplacian_chunk,
+                laplacian_method=laplacian_method,
+                orbitals_fn=orbitals_fn,
+                pair_output=pair_output,
+                quadrature=pp.get("quadrature", "msc50"))
         from aiqmc_tpu.pbc import ewald
         return ewald.local_energy(
             f=network.apply,
