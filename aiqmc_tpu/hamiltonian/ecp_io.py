@@ -132,3 +132,43 @@ def stack_ecp_tables(tables: Sequence[EcpTable]):
         "non_local_exps": exps_nl,
         "list_l": max(n_l - 1, 0),
     }
+
+
+def configure_pp(cfg, symbols: Sequence[str], ecp_source) -> None:
+    """Fills ``cfg.system.pp`` (+ use_pp, valence charges) from ECP data.
+
+    The glue the reference never finished (ref readpp.py:44): example scripts
+    there hand-transcribe the C tables (ref example/single_atom_C.py:13-23);
+    here any system config can load them straight from the shipped nwchem
+    files (aiqmc_tpu/data/C.ccECP.nwchem).
+
+    Args:
+      cfg: a config (cfg.system.atoms/spins already set); modified in place.
+      symbols: element symbol per atom, e.g. ["C", "C"].
+      ecp_source: path to an nwchem ECP file, its text, or {symbol: EcpTable}.
+    """
+    from aiqmc_tpu.utils import elements
+    if isinstance(ecp_source, str):
+        if "\n" in ecp_source:
+            tables = parse_nwchem_ecp(ecp_source)
+        else:
+            tables = read_nwchem_ecp(ecp_source)
+    else:
+        tables = dict(ecp_source)
+    per_atom = []
+    z_eff = []
+    for symbol in symbols:
+        if symbol not in tables:
+            raise ValueError(f"No ECP table for element {symbol}")
+        t = tables[symbol]
+        per_atom.append(t)
+        z_true = elements.SYMBOLS[symbol].atomic_number
+        z_eff.append(float(z_true - t.ncore))
+    stacked = stack_ecp_tables(per_atom)
+    with cfg.unlocked():
+        cfg.system.use_pp = True
+        cfg.system.charges = np.asarray(z_eff)
+        cfg.system.pp.list_l = stacked["list_l"]
+        for key in ("rn_local", "local_coes", "local_exps", "rn_non_local",
+                    "non_local_coes", "non_local_exps"):
+            setattr(cfg.system.pp, key, stacked[key])

@@ -1,0 +1,46 @@
+"""DMC on the C ccECP atom from the FLAGSHIP (256,32)x4 / 16-det VMC trial
+(runs/c_kfac_big) — BASELINE config #4 at published-FermiNet trial capacity.
+
+Round 1 showed the ~19 mHa DMC residual of the half-size trial is pure
+fixed-node error (tau 0.01 vs 0.02 statistically identical); this rerun from
+the bigger trial is the close-the-gap measurement (exact ccECP C: -5.434 Ha).
+
+Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
+       PYTHONPATH=/root/repo:/root/.axon_site python -u \
+       scripts/run_c_ccecp_dmc_big.py <vmc_ckpt_dir> [blocks] [iters] [save] [tau]
+"""
+import sys
+
+import numpy as np
+
+from aiqmc_tpu.configs import c_atom_ccecp as c
+from aiqmc_tpu.dmc import driver
+
+restore = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/c_kfac_big"
+nblocks = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+iters = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c_dmc_big"
+tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
+
+energies, data, weights = driver.main(
+    atoms=np.zeros((1, 3)), charges=np.array([4.0]),
+    spins=np.array([1.0, 1.0, 1.0, -1.0]),
+    tstep=tstep, nelectrons=4, nsteps=10, natoms=1, ndim=3,
+    batch_size=2048, iterations=iters, nblocks=nblocks, feedback=1.0,
+    nspins=(3, 1), save_path=save, restore_path=restore,
+    Rn_local=c.RN_LOCAL, Local_coes=c.LOCAL_COES, Local_exps=c.LOCAL_EXPS,
+    Rn_non_local=c.RN_NON_LOCAL, Non_local_coes=c.NON_LOCAL_COES,
+    Non_local_exps=c.NON_LOCAL_EXPS, list_l=2, use_tmoves=True,
+    quadrature="icosahedral12",
+    network_kwargs=dict(
+        hidden_dims=((256, 32),) * 4,
+        hidden_dims_Ynlm=(16, 16, 16, 16), determinants=16,
+        full_equivariance=True, complex_orbitals=False,
+        bounded_envelope=True, regular_harmonics=True,
+        jastrow_ae=False))
+
+e = np.asarray(energies)
+half = e[len(e) // 2:]
+print("DMC blocks:", np.array2string(e, precision=4))
+print("FINAL second-half mean %.5f +- %.5f Ha (exact -5.434)"
+      % (half.mean(), half.std() / np.sqrt(len(half))))

@@ -62,3 +62,35 @@ Si P
     np.testing.assert_allclose(stacked["non_local_coes"][1, 1],
                                [7.621400, 10.331583])
     assert stacked["list_l"] == 1
+
+
+def test_configure_pp_from_shipped_file():
+    """cfg.system.pp loaded from the packaged C ccECP file must reproduce the
+    hand-transcribed tables of configs/c_atom_ccecp (ref single_atom_C.py)."""
+    import os
+    import numpy as np
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu.configs import c_atom_ccecp as cc
+    from aiqmc_tpu.hamiltonian import ecp_io
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "aiqmc_tpu", "data", "C.ccECP.nwchem")
+    cfg = config_lib.default()
+    with cfg.unlocked():
+        cfg.system.atoms = np.zeros((1, 3))
+        cfg.system.spins = np.array([1.0, 1.0, 1.0, -1.0])
+    ecp_io.configure_pp(cfg, ["C"], path)
+    assert cfg.system.use_pp
+    np.testing.assert_allclose(cfg.system.charges, [4.0])
+    # Same physics content as the hand-written tables (local channel rows may
+    # be ordered as in the file).
+    got = {(float(n), float(e), float(c))
+           for n, e, c in zip(cfg.system.pp.rn_local[0],
+                              cfg.system.pp.local_exps[0],
+                              cfg.system.pp.local_coes[0])}
+    want = {(float(n), float(e), float(c))
+            for n, e, c in zip(cc.RN_LOCAL[0], cc.LOCAL_EXPS[0],
+                               cc.LOCAL_COES[0])}
+    assert got == want
+    np.testing.assert_allclose(cfg.system.pp.non_local_coes[0][0][0], 52.13345)
+    np.testing.assert_allclose(cfg.system.pp.non_local_exps[0][0][0], 7.76079)
