@@ -56,6 +56,7 @@ def main(atoms,
          quadrature: str = "msc50",
          network_kwargs: Optional[dict] = None,
          use_tmoves: bool = True,
+         fused_step: bool = False,
          seed: int = 1):
     """Runs DMC; returns (per-block energies, final data, final weights)."""
     del structure
@@ -136,7 +137,8 @@ def main(atoms,
         Non_local_coes=_maybe(Non_local_coes),
         Non_local_exps=_maybe(Non_local_exps),
         complex_output=complex_output, quadrature=quadrature,
-        use_tmoves=use_tmoves and Rn_local is not None))
+        use_tmoves=use_tmoves and Rn_local is not None,
+        fused=fused_step))
     jit_branch = jax.jit(branch)
 
     weights = jnp.ones((batch_size,))

@@ -72,12 +72,19 @@ def dmc_propagate(signed_network,
                   complex_output: bool = False,
                   laplacian_chunk: Optional[int] = None,
                   use_tmoves: bool = True,
-                  quadrature: str = "msc50"):
+                  quadrature: str = "msc50",
+                  fused: bool = False):
     """Builds dmc_propagate_run(params, key, data, weights, branchcut, e_trial,
     e_est) -> (eloc_new, weights, new_data) (ref DMC/dmc.py:72-93).
 
     Pseudopotential tables may be None, selecting the all-electron Coulomb
-    Hamiltonian (no T-moves needed)."""
+    Hamiltonian (no T-moves needed).
+
+    fused=True compiles the whole propagation step (moves + both energy
+    evaluations + reweighting) as ONE program — lower dispatch overhead, but
+    gated off by default because the round-1 axon toolchain miscompiled the
+    fused shape (module docstring); run scripts/probe_fused_dmc.py on the
+    current toolchain before enabling."""
     del log_network, logabs_f, nsteps  # API parity with the reference factory
 
     all_electron = Rn_local is None
@@ -131,6 +138,21 @@ def dmc_propagate(signed_network,
                          tau=tstep, eloc=eloc_new, nelec=nelectrons)
         wmult = jnp.exp(tstep * tdamp * (0.5 * s_new + 0.5 * s_old))
         return wmult * weights
+
+    if fused:
+        @jax.jit
+        def dmc_propagate_fused(params, key, data, weights, branchcut_start,
+                                e_trial, e_est):
+            key, move_key, e_key = jax.random.split(key, num=3)
+            data_tm, new_data, tdamp, v_old, v_new = move_walkers(
+                params, move_key, data)
+            eloc_old, _ = total_e(params, e_key, data_tm)
+            eloc_new, _ = total_e(params, e_key, new_data)
+            weights = reweight(weights, tdamp, v_old, v_new, eloc_old,
+                               eloc_new, branchcut_start, e_trial, e_est)
+            return eloc_new, weights, new_data
+
+        return dmc_propagate_fused
 
     jit_move = jax.jit(move_walkers)
     jit_energy = jax.jit(total_e)

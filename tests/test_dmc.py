@@ -199,3 +199,40 @@ def test_tmove_heatbath_statistics():
     p_want = sum_t / (1.0 + sum_t)
     sem = np.sqrt(p_want * (1 - p_want) / len(keys))
     assert abs(frac - p_want) < 5 * sem, (frac, p_want)
+
+
+def test_fused_propagate_matches_split():
+    """The one-program DMC step must produce identical weights/positions to
+    the 3-program split for the same keys (fused=True is gated on the chip by
+    scripts/probe_fused_dmc.py; this pins CPU semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aiqmc_tpu.dmc.propagate import dmc_propagate
+    from aiqmc_tpu.models.network import AINetData
+
+    def stub_net(params, pos, spins, atoms, charges):
+        r = pos.reshape(-1, 3)
+        return jnp.ones(()), -1.2 * jnp.sum(
+            jnp.sqrt(1.0 + jnp.sum(r * r, axis=-1)) - 1.0)
+
+    batch, nelec = 64, 2
+    common = dict(
+        signed_network=stub_net, log_network=None, logabs_f=None, list_l=2,
+        nelectrons=nelec, natoms=1, ndim=3, batch_size=batch, tstep=0.02,
+        nsteps=1, charges=jnp.asarray([2.0]), spins=(1, 1), Rn_local=None,
+        Local_coes=None, Local_exps=None, Rn_non_local=None,
+        Non_local_coes=None, Non_local_exps=None)
+    run_split = dmc_propagate(fused=False, **common)
+    run_fused = dmc_propagate(fused=True, **common)
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (batch, nelec * 3))
+    data = AINetData(positions=pos, spins=jnp.asarray([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.asarray([2.0]))
+    w = jnp.ones((batch,))
+    e1, w1, d1 = run_split({}, jax.random.PRNGKey(1), data, w, 10.0, -2.9, -2.9)
+    e2, w2, d2 = run_fused({}, jax.random.PRNGKey(1), data, w, 10.0, -2.9, -2.9)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(d1.positions),
+                               np.asarray(d2.positions), atol=2e-5)
