@@ -56,3 +56,21 @@ def apply_twist(network, lattice, twist_frac, ndim: int = 3):
 
     import dataclasses
     return dataclasses.replace(network, apply=apply)
+
+
+def real_to_angle(network):
+    """Converts a REAL network's sign output into a phase ANGLE (sign +1 -> 0,
+    sign -1 -> pi) so the twist boost and the complex estimators apply to a
+    Gamma-trained real checkpoint. The sign is piecewise constant, so its
+    phase gradient is zero almost everywhere and the complex kinetic path
+    reduces to the real one plus the exact boost terms; psi-ratio estimators
+    see cos(+-pi) = -1 at sign flips, identical to the sign product."""
+    base_apply = network.apply
+
+    def apply(params, pos, spins, atoms, charges
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        sign, mag = base_apply(params, pos, spins, atoms, charges)
+        return jnp.pi * 0.5 * (1.0 - sign), mag
+
+    import dataclasses
+    return dataclasses.replace(network, apply=apply)

@@ -68,6 +68,25 @@ def _envelope_kwargs(cfg, nelectrons: int):
         np.asarray(cfg.system.structure), nelectrons)}
 
 
+def _twist_real(cfg) -> bool:
+    """True when a nonzero twist rides a REAL network: the sign output is
+    converted to a phase angle and the estimators run in pair-complex mode
+    (pbc/twist.py real_to_angle) — TABC evaluation of Gamma-trained real
+    checkpoints without retraining in complex mode."""
+    twist = np.asarray(cfg.system.get("twist", (0.0, 0.0, 0.0)), dtype=float)
+    return (cfg.system.get("pbc", False) and bool(np.any(twist != 0.0))
+            and not cfg.network.complex_orbitals)
+
+
+def _effective_complex(cfg):
+    """(complex_output, pair_output) for estimators, including twisted-real."""
+    if _twist_real(cfg):
+        return True, True
+    complex_output = cfg.network.complex_orbitals
+    return complex_output, (complex_output
+                            and cfg.network.get("complex_pairs", False))
+
+
 def _resolve_plugin(path: str):
     """Resolves a 'module.sub.function' config string via importlib
     (ref ferminet/train.py:440-467,688-702 plugin hooks)."""
@@ -163,12 +182,11 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
             if cfg.network.get("make_envelope_fn", "") else None))
     twist = np.asarray(cfg.system.get("twist", (0.0, 0.0, 0.0)), dtype=float)
     if cfg.system.get("pbc", False) and np.any(twist != 0.0):
-        if not cfg.network.complex_orbitals:
-            raise ValueError(
-                "Nonzero twists need a complex wavefunction: set "
-                "cfg.network.complex_orbitals=True (+ complex_pairs=True for "
-                "the TPU-safe representation)")
         from aiqmc_tpu.pbc import twist as twist_lib
+        if not cfg.network.complex_orbitals:
+            # Gamma-real ansatz at a twist: sign -> phase angle, then boost;
+            # estimators switch to pair-complex mode (_effective_complex).
+            network = twist_lib.real_to_angle(network)
         network = twist_lib.apply_twist(
             network, np.asarray(cfg.system.structure), twist,
             ndim=cfg.system.ndim)
@@ -188,9 +206,10 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
 
 
 def _build_local_energy(cfg, network):
-    complex_output = cfg.network.complex_orbitals
-    pair_output = complex_output and cfg.network.get("complex_pairs", False)
+    complex_output, pair_output = _effective_complex(cfg)
     laplacian_method = cfg.optim.get("laplacian", "default")
+    if complex_output:
+        laplacian_method = "default"  # forward Laplacian is real-only
     orbitals_fn = network.orbitals if laplacian_method == "forward" else None
     if cfg.system.get("make_local_energy_fn", ""):
         # Importlib plugin hook (ref ferminet/train.py:688-702): the named
@@ -354,13 +373,12 @@ def make_training_components(cfg, network, batch_size: int,
     import optax
 
     localenergy = _build_local_energy(cfg, network)
-    pair_output = (cfg.network.complex_orbitals
-                   and cfg.network.get("complex_pairs", False))
+    complex_output, pair_output = _effective_complex(cfg)
     logabs_network = lambda *a, **k: network.apply(*a, **k)[1]
     if pair_output:
         # log psi as a stacked real [log|psi|, phase] pair (TPU-safe).
         loss_network = nn.make_pair_log_network(network.apply)
-    elif cfg.network.complex_orbitals:
+    elif complex_output:
         # log psi = log|psi| + i*phase (ref main_pp_adam_muti_GPU.py:119-121).
         loss_network = nn.make_log_network(network.apply)
     else:
@@ -374,7 +392,7 @@ def make_training_components(cfg, network, batch_size: int,
         clip_local_energy=cfg.optim.clip_local_energy,
         clip_from_median=cfg.optim.clip_from_median,
         center_at_clipped_energy=cfg.optim.center_at_clipped_energy,
-        complex_output=cfg.network.complex_orbitals,
+        complex_output=complex_output,
         **loss_kwargs)
 
     mc_step = _build_mcmc(cfg, network, batch_size)

@@ -171,3 +171,55 @@ def test_train_builds_pp_pbc_and_twist():
     val, _ = e_l(params, jax.random.PRNGKey(2), data)
     assert val.shape == (2,)  # pair [Re, Im]
     assert np.all(np.isfinite(np.asarray(val)))
+
+
+def test_tabc_real_checkpoint_pointwise_identity():
+    """TABC on a Gamma-trained REAL network (real_to_angle + boost): pointwise
+    Re E_L(twist) = E_L(Gamma) + nelec |k|^2 / 2 (the boost's phase gradient
+    is k per electron; the sign's phase gradient is 0 a.e.), and the sampler's
+    log|psi| is untouched. Uses the ALL-ELECTRON periodic config: for a
+    nonlocal ECP the identity intentionally fails — the displaced-electron
+    psi-ratios pick up genuine cos(k.(r'-r)) twist factors."""
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu import train as train_lib
+    from aiqmc_tpu.configs import diamond
+
+    base = diamond.get_config()
+    with base.unlocked():
+        base.network.hidden_dims = ((8, 4),) * 2
+        base.network.hidden_dims_ynlm = (4, 4)
+        base.optim.laplacian = "default"
+    cfg_g = config_lib.resolve(base)
+    net_g, _ = train_lib._build_network(cfg_g)
+    e_g = train_lib._build_local_energy(cfg_g, net_g)
+
+    theta = (0.5, 0.0, 0.25)
+    cfg_t = config_lib.resolve(base)
+    with cfg_t.unlocked():
+        cfg_t.system.twist = theta
+    net_t, _ = train_lib._build_network(cfg_t)
+    e_t = train_lib._build_local_energy(cfg_t, net_t)
+
+    params = net_g.init(jax.random.PRNGKey(0))
+    nelec = 12
+    pos = jax.random.normal(jax.random.PRNGKey(1), (3 * nelec,))
+    spins = jnp.asarray(cfg_g.system.spins)
+    atoms = jnp.asarray(cfg_g.system.atoms)
+    charges = jnp.asarray(cfg_g.system.charges)
+    data = AINetData(positions=pos, spins=spins, atoms=atoms, charges=charges)
+
+    key = jax.random.PRNGKey(2)
+    v_g, _ = e_g(params, key, data)        # real scalar
+    v_t, _ = e_t(params, key, data)        # pair [Re, Im]
+    k = np.asarray(twist_lib.twist_wavevector(np.asarray(lattice_of(cfg_g)),
+                                              np.asarray(theta)))
+    want = float(v_g) + nelec * float(k @ k) / 2.0
+    np.testing.assert_allclose(float(v_t[0]), want, rtol=2e-4)
+    # magnitudes (sampling density) identical
+    _, m_g = net_g.apply(params, pos, spins, atoms, charges)
+    _, m_t = net_t.apply(params, pos, spins, atoms, charges)
+    np.testing.assert_allclose(float(m_g), float(m_t), rtol=1e-6)
+
+
+def lattice_of(cfg):
+    return cfg.system.structure
