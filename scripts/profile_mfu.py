@@ -28,23 +28,12 @@ V5E_PEAK_F32 = 98.5e12
 V5E_PEAK_BF16 = 197e12
 
 
-def timed(fn, *args, warmup=2, iters=10):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def main():
     trace = "--trace" in sys.argv
     jax_mod, step, params, opt_state, data = bench.build_step(bench.BATCH)
     key = jax.random.PRNGKey(7)
     width = jnp.asarray(0.2)
+    del jax_mod
 
     # FLOPs from XLA's cost model on the compiled executable.
     compiled = step.lower(params, opt_state, data, key, width).compile()
@@ -52,11 +41,12 @@ def main():
     cost = cost[0] if isinstance(cost, list) else cost
     flops = float(cost.get("flops", float("nan")))
 
-    # The step donates opt_state/data buffers — time it on fresh copies.
-    t_step = timed(lambda: step(params,
-                                jax.tree_util.tree_map(jnp.array, opt_state),
-                                jax.tree_util.tree_map(jnp.array, data),
-                                key, width))
+    # Steady-state step time: chain outputs -> inputs like training does
+    # (bench.measure), so iterations pipeline; re-copying inputs per call
+    # instead was measured 2.2x slower than the real training loop.
+    steps_per_sec_per_chip, _ = bench.measure(bench.BATCH, 2, 10)
+    t_step = bench.BATCH * bench.MCMC_STEPS / (
+        steps_per_sec_per_chip * jax.device_count())
 
     achieved = flops / t_step
     print(f"step time            : {t_step*1e3:9.2f} ms")
