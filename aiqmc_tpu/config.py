@@ -18,7 +18,7 @@ def default() -> ml_collections.ConfigDict:
         "batch_size": 256,             # global walker count across all chips
         "optim": {
             "iterations": 100,
-            "optimizer": "adam",        # adam | lamb | kfac | none
+            "optimizer": "adam",        # adam | lamb | kfac | spring | none
             # rate / (1 + t/delay)^decay. NOTE: the reference hardcodes
             # delay=1.0, decay=10000 (main_pp_adam_muti_GPU.py:158-159), which
             # collapses the LR to 0.5^10000 = 0 after the first step — training
@@ -45,6 +45,14 @@ def default() -> ml_collections.ConfigDict:
                 "damping_adaptation_interval": 5,
                 "damping_adaptation_decay": 0.9,
                 "max_damping": 1e6,
+            },
+            # SPRING/MinSR natural gradient in sample space (optim/spring.py;
+            # beyond the reference's Adam/KFAC zoo).
+            "spring": {
+                "damping": 1e-3,
+                "mu": 0.99,
+                "norm_constraint": 1e-3,
+                "lr": {"rate": 2e-2, "delay": 4000.0},
             },
             "clip_local_energy": 5.0,
             "clip_from_median": True,

@@ -1,0 +1,137 @@
+"""SPRING / MinSR stochastic-reconfiguration optimizer (beyond the reference).
+
+The reference's optimizer zoo stops at Adam/KFAC (ref Optimizer/{adam,kfac}.py,
+ferminet/train.py:742-811). SPRING (Goldshlager, Abrahamsen & Lin 2024,
+building on MinSR, Chen & Heyl 2023; see also the "accelerated linear method"
+line in PAPERS.md) is the current state of the art for neural-network VMC at
+small-to-medium parameter counts, and is unusually TPU-friendly: the natural-
+gradient solve happens in SAMPLE space via the push-through identity
+
+    (O^T O + lam I)^{-1} O^T = O^T (O O^T + lam I)^{-1},
+
+so the per-step dense work is one (B x P) jacobian, one (B x B) = O O^T MXU
+matmul, and one Cholesky solve of a B x B system — no P x P curvature ever
+exists (P = parameters, B = walkers).
+
+Per step, with Obar = (O - mean O)/sqrt(B) the centered, normalised per-sample
+jacobian of log|psi| and eps = -(E_L - mean E_L)/sqrt(B) the (optionally
+TV-clipped) residual:
+
+    delta_t = mu * delta_{t-1}
+              + Obar^T (Obar Obar^T + lam I)^{-1} (eps - mu * Obar delta_{t-1})
+    theta  += lr(t) * delta_t
+
+mu=0 recovers plain MinSR; the mu-coupled previous direction is SPRING's
+iterate-reuse, which stabilises the small-lam regime. Real wavefunctions only
+(the magnitude carries the Fisher information; matches the KFAC restriction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from aiqmc_tpu.loss import AuxiliaryLossData, clip_local_values
+from aiqmc_tpu.models.network import AINetData, ParamTree
+
+
+@dataclasses.dataclass
+class SpringOptions:
+    damping: float = 1e-3           # lam: regulariser of the B x B solve
+    mu: float = 0.99                # previous-direction coupling (SPRING)
+    clip_local_energy: float = 5.0  # TV clip on the residual (0 = off)
+    norm_constraint: float = 1e-3   # lr^2 |delta|_F^2 <= c, as in KFAC
+    learning_rate_schedule: Callable[[Any], Any] = (
+        lambda t: 2e-2 / (1 + t / 4000.0))
+
+
+@chex.dataclass
+class SpringState:
+    t: jnp.ndarray            # step counter
+    prev_delta: jnp.ndarray   # (P,) previous update direction (flat)
+
+
+def make_spring_optimizer(logabs_network,
+                          local_energy,
+                          params_template: ParamTree,
+                          options: SpringOptions):
+    """Builds (init, step) with step(params, state, key, data) ->
+    (params, state, loss, aux) — drop-in for the KFAC step in the trainer.
+
+    Args:
+      logabs_network: REAL log|psi| (params, pos, spins, atoms, charges).
+      local_energy: single-walker e_l(params, key, data) -> (E_L, aux).
+      params_template: params pytree (sizes the flat direction vector).
+      options: hyperparameters.
+    """
+    flat0, unravel = ravel_pytree(params_template)
+    nparams = flat0.size
+
+    batch_local_energy = jax.vmap(
+        local_energy,
+        in_axes=(None, 0, AINetData(positions=0, spins=None, atoms=None,
+                                    charges=None)),
+        out_axes=(0, 0))
+
+    def init(params: ParamTree) -> SpringState:
+        del params
+        return SpringState(t=jnp.zeros((), jnp.int32),
+                           prev_delta=jnp.zeros((nparams,), flat0.dtype))
+
+    def step(params: ParamTree, state: SpringState, key: chex.PRNGKey,
+             data: AINetData):
+        batch = data.positions.shape[0]
+        keys = jax.random.split(key, num=batch)
+        e_l, _ = batch_local_energy(params, keys, data)
+        loss = jnp.mean(e_l)
+        variance = jnp.mean((e_l - loss) ** 2)
+
+        if options.clip_local_energy > 0.0:
+            _, diff = clip_local_values(
+                e_l, loss, options.clip_local_energy,
+                clip_from_median=True, center_at_clipped_value=True)
+        else:
+            diff = e_l - loss
+
+        # Per-sample flat jacobian of log|psi| (the B x P matrix O).
+        def flat_logpsi(flat_params, pos):
+            return logabs_network(unravel(flat_params), pos, data.spins,
+                                  data.atoms, data.charges)
+
+        flat_params = ravel_pytree(params)[0]
+        o = jax.vmap(jax.grad(flat_logpsi, argnums=0),
+                     in_axes=(None, 0))(flat_params, data.positions)
+        o = (o - jnp.mean(o, axis=0, keepdims=True)) / jnp.sqrt(
+            jnp.asarray(batch, o.dtype))
+        eps = -diff / jnp.sqrt(jnp.asarray(batch, o.dtype))
+
+        # Sample-space solve: (O O^T + lam I) x = eps - mu O delta_prev.
+        t_mat = o @ o.T + options.damping * jnp.eye(batch, dtype=o.dtype)
+        rhs = eps - options.mu * (o @ state.prev_delta)
+        chol = jax.scipy.linalg.cho_factor(t_mat)
+        x = jax.scipy.linalg.cho_solve(chol, rhs)
+        delta = options.mu * state.prev_delta + o.T @ x
+
+        # Fisher-norm trust region, as in optim/kfac.py: the Fisher quadratic
+        # form of delta is 4 |Obar delta|^2 (log-density score = 2 o).
+        lr = options.learning_rate_schedule(state.t)
+        sq_fisher = 4.0 * jnp.sum((o @ delta) ** 2)
+        coeff = jnp.minimum(
+            1.0, jnp.sqrt(options.norm_constraint / jnp.maximum(
+                lr * lr * sq_fisher, 1e-30)))
+        scaled = lr * coeff * delta
+
+        new_flat = flat_params + scaled
+        new_params = unravel(new_flat)
+        new_state = SpringState(t=state.t + 1, prev_delta=coeff * delta)
+        aux = AuxiliaryLossData(variance=variance, local_energy=e_l,
+                                clipped_energy=diff + loss,
+                                grad_local_energy=None, local_energy_mat=None)
+        return new_params, new_state, loss, aux
+
+    return init, step

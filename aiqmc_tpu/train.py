@@ -432,6 +432,35 @@ def make_training_components(cfg, network, batch_size: int,
         return _TrainingComponents(mc_step, evaluate_loss, opt_init,
                                    combined_step)
 
+    if cfg.optim.optimizer == "spring":
+        if complex_output:
+            raise NotImplementedError("SPRING requires a real wavefunction")
+        if params_template is None:
+            raise ValueError("SPRING requires a params template at build time")
+        from aiqmc_tpu.optim import spring as spring_lib
+        sp = cfg.optim.spring
+        sp_options = spring_lib.SpringOptions(
+            damping=sp.damping, mu=sp.mu,
+            clip_local_energy=cfg.optim.clip_local_energy,
+            norm_constraint=sp.norm_constraint,
+            learning_rate_schedule=lambda t: sp.lr.rate / (1.0 + t / sp.lr.delay))
+        sp_init, sp_step = spring_lib.make_spring_optimizer(
+            logabs_network=logabs_network,
+            local_energy=localenergy,
+            params_template=params_template,
+            options=sp_options)
+
+        def combined_step_spring(params, opt_state, data, key, width):
+            mcmc_key, loss_key = jax.random.split(key)
+            data, pmove = mc_step(params, data, mcmc_key, width)
+            params, opt_state, loss_val, aux = sp_step(
+                params, opt_state, loss_key, data)
+            return (params, opt_state, data, loss_val,
+                    _step_stats(aux), pmove)
+
+        return _TrainingComponents(mc_step, evaluate_loss, sp_init,
+                                   combined_step_spring)
+
     if cfg.optim.optimizer == "none":
         def opt_init_none(params):
             del params
