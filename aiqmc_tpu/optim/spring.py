@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-from aiqmc_tpu.loss import AuxiliaryLossData, clip_local_values
+from aiqmc_tpu.loss import AuxiliaryLossData, _mask_nonfinite, clip_local_values
 from aiqmc_tpu.models.network import AINetData, ParamTree
 
 
@@ -88,6 +88,7 @@ def make_spring_optimizer(logabs_network,
         batch = data.positions.shape[0]
         keys = jax.random.split(key, num=batch)
         e_l, _ = batch_local_energy(params, keys, data)
+        e_l = _mask_nonfinite(e_l)  # singular walkers contribute zero residual
         loss = jnp.mean(e_l)
         variance = jnp.mean((e_l - loss) ** 2)
 
