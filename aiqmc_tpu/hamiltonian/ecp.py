@@ -126,9 +126,8 @@ def min_image(ae: jnp.ndarray, lattice) -> jnp.ndarray:
     primitive vectors); identity when lattice is None."""
     if lattice is None:
         return ae
-    inv = jnp.linalg.inv(lattice)
-    frac = ae @ inv
-    return (frac - jnp.round(frac)) @ lattice
+    from aiqmc_tpu.pbc.enforce import minimum_image
+    return minimum_image(lattice, ae)
 
 
 def local_pp_energy(nelectrons: int,

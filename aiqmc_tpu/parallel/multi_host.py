@@ -36,3 +36,15 @@ def check_synced(tree) -> bool:
     if not ok:
         raise AssertionError("Pytree is not synchronised across hosts")
     return ok
+
+
+def broadcast_tree(tree):
+    """Broadcasts a pytree from process 0 to all hosts (no-op single-host).
+
+    Used after host-local pretraining so every process enters training with
+    identical parameters (ref multihost seed/mo_coeff broadcasts,
+    main_pp_adam.py:64-65, ferminet/train.py:436-438)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(tree)

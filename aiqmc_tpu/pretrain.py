@@ -215,6 +215,13 @@ def pretrain_orbitals(network,
         if target in ("rhf", "uhf"):
             try:
                 if pp_cfg is not None:
+                    if target == "uhf" or basis is not None:
+                        from absl import logging
+                        logging.warning(
+                            "Pseudopotential systems pretrain against the "
+                            "valence ECP-RHF solver; requested target=%r / "
+                            "basis=%r are ignored on this path.",
+                            target, basis)
                     target_fn = make_ecp_rhf_targets(
                         np.asarray(data.atoms), np.asarray(data.charges),
                         pp_cfg, nspins)

@@ -68,6 +68,21 @@ def _envelope_kwargs(cfg, nelectrons: int):
         np.asarray(cfg.system.structure), nelectrons)}
 
 
+def _gather_data(data: nn.AINetData) -> nn.AINetData:
+    """Host copy of walker data for checkpointing; in a multi-process run the
+    positions are a globally-sharded array whose shards live partly on other
+    hosts, where plain device_get raises — all-gather them first."""
+    if jax.process_count() == 1:
+        return jax.device_get(data)
+    from jax.experimental import multihost_utils
+    return nn.AINetData(
+        positions=np.asarray(
+            multihost_utils.process_allgather(data.positions, tiled=True)),
+        spins=jax.device_get(data.spins),
+        atoms=jax.device_get(data.atoms),
+        charges=jax.device_get(data.charges))
+
+
 def _twist_real(cfg) -> bool:
     """True when a nonzero twist rides a REAL network: the sign output is
     converted to a phase angle and the estimators run in pair-complex mode
@@ -113,6 +128,11 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
     par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelectrons)
     up, down = spin_indices.spin_indices_h(spins)
     if cfg.network.get("network_type", "ainet") == "psiformer":
+        twist0 = np.asarray(cfg.system.get("twist", (0.0, 0.0, 0.0)))
+        if cfg.system.get("pbc", False) and np.any(twist0 != 0.0):
+            raise NotImplementedError(
+                "Twisted boundary conditions are not wired for the psiformer "
+                "network (the twist wrapper is applied on the ainet path)")
         from aiqmc_tpu.models import psiformer
         pf = cfg.network.psiformer
         network = psiformer.make_psiformer(
@@ -612,6 +632,11 @@ def train(cfg: ml_collections.ConfigDict,
             target=cfg.pretrain.target, key=subkey, params=params,
             pp_cfg=cfg.system.pp if cfg.system.use_pp else None,
             basis=cfg.pretrain.get("basis", None) or None)
+        if info.num_hosts > 1:
+            # Each host pretrained against its own local walkers; take host
+            # 0's params so every process starts training identically
+            # (check_synced below would otherwise fail).
+            params = multi_host.broadcast_tree(params)
         opt_state = components.init(params)
 
     # Distribute: walkers sharded (assembled from process-local shards in a
@@ -763,7 +788,7 @@ def train(cfg: ml_collections.ConfigDict,
                 jax.profiler.stop_trace()
                 profiling = False
             if time.time() - time_of_last_ckpt > cfg.log.save_frequency * 60:
-                checkpoint_lib.save(ckpt_save_path, t, jax.device_get(data),
+                checkpoint_lib.save(ckpt_save_path, t, _gather_data(data),
                                     jax.device_get(params),
                                     jax.device_get(opt_state),
                                     extra=_ckpt_extra())
@@ -775,7 +800,7 @@ def train(cfg: ml_collections.ConfigDict,
             jax.profiler.stop_trace()
             profiling = False
         checkpoint_lib.save(ckpt_save_path, t_init + cfg.optim.iterations - 1,
-                            jax.device_get(data), jax.device_get(params),
+                            _gather_data(data), jax.device_get(params),
                             jax.device_get(opt_state), extra=_ckpt_extra())
         if density is not None and density["count"] > 0:
             np.save(os.path.join(ckpt_save_path, "density_rdm.npy"),

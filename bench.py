@@ -81,10 +81,10 @@ def build_step(batch):
     return jax, step, params, opt_state, data
 
 
-def measure(batch, warmup, timed):
+def measure(batch, warmup, timed, prebuilt=None):
     import jax
     import jax.numpy as jnp
-    jax_mod, step, params, opt_state, data = build_step(batch)
+    jax_mod, step, params, opt_state, data = prebuilt or build_step(batch)
     key = jax.random.PRNGKey(1)
     for i in range(warmup):
         key, sub = jax.random.split(key)

@@ -62,4 +62,4 @@ tabc_mean = means.mean()
 tabc_err = np.sqrt(np.sum(errs ** 2)) / len(errs)
 print(f"\nTABC average over {len(twists)} twists: "
       f"{tabc_mean:.5f} +- {tabc_err:.5f} Ha  "
-      f"(Gamma-only finite-size spread: {means.ptp():.5f} Ha)")
+      f"(Gamma-only finite-size spread: {np.ptp(means):.5f} Ha)")

@@ -33,7 +33,6 @@ def main():
     jax_mod, step, params, opt_state, data = bench.build_step(bench.BATCH)
     key = jax.random.PRNGKey(7)
     width = jnp.asarray(0.2)
-    del jax_mod
 
     # FLOPs from XLA's cost model on the compiled executable.
     compiled = step.lower(params, opt_state, data, key, width).compile()
@@ -44,7 +43,9 @@ def main():
     # Steady-state step time: chain outputs -> inputs like training does
     # (bench.measure), so iterations pipeline; re-copying inputs per call
     # instead was measured 2.2x slower than the real training loop.
-    steps_per_sec_per_chip, _ = bench.measure(bench.BATCH, 2, 10)
+    steps_per_sec_per_chip, _ = bench.measure(
+        bench.BATCH, 2, 10,
+        prebuilt=(jax, step, params, opt_state, data))
     t_step = bench.BATCH * bench.MCMC_STEPS / (
         steps_per_sec_per_chip * jax.device_count())
 
