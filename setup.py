@@ -9,6 +9,8 @@ setup(
                  "Y_nlm wavefunction, VMC/DMC, ccECP pseudopotentials, "
                  "correlated samples, PBC/Ewald."),
     packages=find_packages(exclude=["tests"]),
+    package_data={"aiqmc_tpu": ["data/*.nwchem"]},
+    include_package_data=True,
     python_requires=">=3.10",
     install_requires=[
         "jax",
