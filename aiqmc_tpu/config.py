@@ -54,6 +54,17 @@ def default() -> ml_collections.ConfigDict:
                 "norm_constraint": 1e-3,
                 "lr": {"rate": 2e-2, "delay": 4000.0},
             },
+            # Statistical step rejection (optim/guard.py): rolls back
+            # finite-but-pathological optimizer steps (variance explosion /
+            # non-variational energy plunge). Opt-in; motivated by the Si
+            # all-electron divergence (runs/si_vmc, BASELINE.md).
+            "guard": {
+                "enable": False,
+                "var_factor": 8.0,   # reject if batch var > factor * EW var
+                "jump_sigmas": 20.0, # reject if |E - EW E| > k * sem
+                "warmup": 300,       # accepted steps before the guard engages
+                "decay": 0.98,       # EW decay for the running statistics
+            },
             "clip_local_energy": 5.0,
             "clip_from_median": True,
             "center_at_clipped_energy": True,

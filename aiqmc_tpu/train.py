@@ -389,7 +389,30 @@ class _TrainingComponents:
 
 def make_training_components(cfg, network, batch_size: int,
                              params_template=None, data_template=None):
-    """Builds the training-step bundle for the configured optimizer."""
+    """Builds the training-step bundle for the configured optimizer,
+    optionally wrapped in the statistical step-rejection guard
+    (cfg.optim.guard — see optim/guard.py)."""
+    components = _make_training_components(
+        cfg, network, batch_size, params_template=params_template,
+        data_template=data_template)
+    guard_cfg = cfg.optim.get("guard", None)
+    if guard_cfg and guard_cfg.get("enable", False):
+        from aiqmc_tpu.optim import guard as guard_lib
+        wrap_init, guarded = guard_lib.make_guarded_step(
+            components.combined_step,
+            var_factor=guard_cfg.get("var_factor", 8.0),
+            jump_sigmas=guard_cfg.get("jump_sigmas", 20.0),
+            warmup=guard_cfg.get("warmup", 300),
+            decay=guard_cfg.get("decay", 0.98))
+        components = _TrainingComponents(
+            components.mc_step, components.evaluate_loss,
+            wrap_init(components.init), guarded)
+    return components
+
+
+def _make_training_components(cfg, network, batch_size: int,
+                              params_template=None, data_template=None):
+    """Builds the raw (unguarded) training-step bundle."""
     import optax
 
     localenergy = _build_local_energy(cfg, network)
