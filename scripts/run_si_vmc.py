@@ -35,8 +35,15 @@ with cfg.unlocked():
     cfg.optim.optimizer = "kfac"
     cfg.optim.laplacian = "forward"
     cfg.optim.iterations = iterations
-    cfg.optim.kfac.lr.rate = 0.05
+    # First attempt (runs/si_vmc, seed 43, lr 0.05) reached -288.6 Ha at
+    # iteration 1500 (exact -289.36) then diverged through finite steps at
+    # ~1806 (batch variance 150 -> 5000 Ha^2, non-variational plunge to
+    # -700 Ha). Remedies: halved LR + the statistical step-rejection guard
+    # (optim/guard.py), which rolls back variance-explosion steps.
+    cfg.optim.kfac.lr.rate = 0.025
     cfg.optim.kfac.lr.delay = 2000.0
+    cfg.optim.guard.enable = True
+    cfg.optim.guard.warmup = 400
     cfg.pretrain.iterations = 1000
     cfg.pretrain.target = "uhf"
     cfg.pretrain.basis = "even_tempered"
