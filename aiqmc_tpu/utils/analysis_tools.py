@@ -46,3 +46,59 @@ def estimate_energy(path: str, burn_fraction: float = 0.2,
         "sigma": float(tail.std()),
         "nsamples": int(tail.size),
     }
+
+
+def mad_outlier_mask(x: np.ndarray, nmad: float = 5.0) -> np.ndarray:
+    """True for samples within ``nmad`` scaled MADs of the median.
+
+    The per-step/per-block energy distribution of a QMC run is fat-tailed (a
+    walker pinned near a node, a population fluctuation in DMC): a single
+    pathological sample can dominate the naive mean — e.g. one -5.876 block
+    shifted a 60-block DMC mean by 15 mHa (BASELINE.md, runs/c_dmc_big). The
+    MAD-based mask is the standard robust filter: 1.4826*MAD estimates sigma
+    for a Gaussian core, so nmad=5 keeps ~all clean samples.
+    """
+    x = np.asarray(x)
+    finite = np.isfinite(x)
+    if not finite.any():
+        return finite
+    med = np.median(x[finite])
+    mad = np.median(np.abs(x[finite] - med)) * 1.4826
+    if mad == 0.0:
+        return finite
+    return finite & (np.abs(x - med) <= nmad * mad)
+
+
+def robust_estimate_energy(path: str, burn_fraction: float = 0.2,
+                           block_size: Optional[int] = None,
+                           nmad: float = 5.0) -> Dict[str, float]:
+    """`estimate_energy` with MAD outlier rejection on the tail samples."""
+    stats = read_train_stats(path)
+    e = stats["energy"]
+    e = e[np.isfinite(e)]
+    tail = e[int(len(e) * burn_fraction):]
+    mask = mad_outlier_mask(tail, nmad)
+    kept = tail[mask]
+    return {
+        "energy": float(kept.mean()),
+        "stderr": blocked_error(kept, block_size),
+        "sigma": float(kept.std()),
+        "median": float(np.median(tail)),
+        "nsamples": int(kept.size),
+        "noutliers": int(tail.size - kept.size),
+    }
+
+
+def robust_block_stats(blocks: np.ndarray, nmad: float = 5.0
+                       ) -> Dict[str, float]:
+    """Robust mean/stderr over DMC block energies (MAD-trimmed)."""
+    blocks = np.asarray(blocks, dtype=float)
+    mask = mad_outlier_mask(blocks, nmad)
+    kept = blocks[mask]
+    return {
+        "mean": float(kept.mean()),
+        "stderr": float(kept.std() / np.sqrt(max(1, kept.size))),
+        "median": float(np.median(blocks[np.isfinite(blocks)])),
+        "nblocks": int(kept.size),
+        "noutliers": int(blocks.size - kept.size),
+    }

@@ -44,3 +44,8 @@ half = e[len(e) // 2:]
 print("DMC blocks:", np.array2string(e, precision=4))
 print("FINAL second-half mean %.5f +- %.5f Ha (exact -5.434)"
       % (half.mean(), half.std() / np.sqrt(len(half))))
+from aiqmc_tpu.utils.analysis_tools import robust_block_stats
+rs = robust_block_stats(half)
+print("FINAL robust second-half %.5f +- %.5f Ha (median %.5f, "
+      "%d/%d blocks kept)" % (rs["mean"], rs["stderr"], rs["median"],
+                              rs["nblocks"], len(half)))

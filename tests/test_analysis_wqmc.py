@@ -18,6 +18,41 @@ def test_read_and_estimate(tmp_path):
     assert est["nsamples"] == 160
 
 
+def test_robust_estimators(tmp_path):
+    rng = np.random.RandomState(1)
+    clean = -5.4 + 0.01 * rng.normal(size=60)
+    blocks = clean.copy()
+    blocks[37] = -5.876          # the runs/c_dmc_big outlier, to the digit
+    rs = analysis_tools.robust_block_stats(blocks)
+    assert rs["noutliers"] == 1
+    assert abs(rs["mean"] - clean[np.arange(60) != 37].mean()) < 1e-12
+    # The naive mean is dragged ~8 mHa by the outlier; the robust one is not.
+    assert abs(blocks.mean() - rs["mean"]) > 0.005
+
+    p = tmp_path / "train_states.csv"
+    with open(p, "w") as f:
+        f.write("step,energy,variance,pmove\n")
+        for t in range(200):
+            e = -1.0 + 0.01 * rng.normal()
+            if t == 150:
+                e = 1823.5   # the runs/diamond_tabc eval outlier
+            f.write(f"{t},{e:.6f},0.1,0.5\n")
+    est = analysis_tools.robust_estimate_energy(str(p))
+    assert est["noutliers"] == 1
+    assert abs(est["energy"] + 1.0) < 0.01
+    naive = analysis_tools.estimate_energy(str(p))
+    assert abs(naive["energy"] + 1.0) > 1.0   # naive is destroyed
+
+
+def test_mad_mask_degenerate():
+    # Constant samples: mad == 0 must not reject everything.
+    x = np.full(10, 2.5)
+    assert analysis_tools.mad_outlier_mask(x).all()
+    # Non-finite samples always drop.
+    x = np.array([1.0, np.nan, 1.0, np.inf, 1.0])
+    assert analysis_tools.mad_outlier_mask(x).sum() == 3
+
+
 def test_wqmc_objective_driver(tmp_path):
     from aiqmc_tpu.configs import diatomic
     from aiqmc_tpu import train
