@@ -103,22 +103,52 @@ def _diagnose_param_mismatch(target_params, params_bytes) -> Optional[str]:
         return None
     if not isinstance(raw, dict) or not isinstance(target_params, dict):
         return None
-    ckpt_keys = set(raw.keys())
-    net_keys = set(target_params.keys())
-    if ("jastrow_ae" in ckpt_keys) != ("jastrow_ae" in net_keys):
-        want = "True" if "jastrow_ae" in ckpt_keys else "False"
+    # Compare full LEAF paths (+shapes), not top-level keys: every network
+    # emits a top-level 'jastrow_ae' entry (an EMPTY dict for the null
+    # jastrow), so key presence alone can never catch the footgun — flax
+    # from_bytes would still silently drop the checkpoint's Jastrow leaves.
+    ckpt_leaves = _leaf_shapes(raw)
+    net_leaves = _leaf_shapes(serialization.to_state_dict(target_params))
+    if ckpt_leaves == net_leaves:
+        return None
+    missing = set(ckpt_leaves) - set(net_leaves)   # in ckpt, not in network
+    surplus = set(net_leaves) - set(ckpt_leaves)   # in network, not in ckpt
+    diff = missing | surplus
+    if diff and all(p[0] == "jastrow_ae" for p in diff):
+        has = bool(missing)
+        want = "True" if has else "False"
         return (f"the checkpoint was saved "
-                f"{'with' if 'jastrow_ae' in ckpt_keys else 'without'} an "
-                f"atom-electron Jastrow but the current config builds the "
-                f"network {'without' if 'jastrow_ae' in ckpt_keys else 'with'} "
-                f"one (the jastrow_ae default is now off for use_pp systems). "
-                f"Set cfg.network.jastrow_ae={want} to restore this checkpoint")
-    missing, surplus = ckpt_keys - net_keys, net_keys - ckpt_keys
-    if missing or surplus:
-        return (f"checkpoint params have keys {sorted(missing)} the network "
-                f"lacks; network has keys {sorted(surplus)} the checkpoint "
+                f"{'with' if has else 'without'} an atom-electron Jastrow "
+                f"but the current config builds the network "
+                f"{'without' if has else 'with'} one (the jastrow_ae default "
+                f"is now off for use_pp systems). Set "
+                f"cfg.network.jastrow_ae={want} to restore this checkpoint")
+    if diff:
+        fmt = lambda ps: sorted("/".join(p) for p in ps)[:8]
+        return (f"checkpoint params have leaves {fmt(missing)} the network "
+                f"lacks; network has leaves {fmt(surplus)} the checkpoint "
                 f"lacks")
-    return None
+    mismatched = [("/".join(p), ckpt_leaves[p], net_leaves[p])
+                  for p in ckpt_leaves if ckpt_leaves[p] != net_leaves[p]]
+    path, cs, ns = mismatched[0]
+    return (f"{len(mismatched)} param leaves change shape, e.g. '{path}' is "
+            f"{cs} in the checkpoint but {ns} in the network (different "
+            f"hidden_dims/determinants?)")
+
+
+def _leaf_shapes(tree, prefix=()):
+    """{leaf path tuple: shape} over nested dict/list/tuple containers."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            out.update(_leaf_shapes(v, prefix + (str(k),)))
+        return out
+    if isinstance(tree, (list, tuple)):
+        out = {}
+        for i, v in enumerate(tree):
+            out.update(_leaf_shapes(v, prefix + (str(i),)))
+        return out
+    return {prefix: tuple(getattr(tree, "shape", ()))}
 
 
 def restore(restore_filename: str,

@@ -107,6 +107,13 @@ def make_spring_optimizer(logabs_network,
         flat_params = ravel_pytree(params)[0]
         o = jax.vmap(jax.grad(flat_logpsi, argnums=0),
                      in_axes=(None, 0))(flat_params, data.positions)
+        # A walker at a singular configuration (node, coalescence) has a
+        # non-finite score row; one such row NaNs the whole B x B solve
+        # (observed on-chip: runs/c_spring collapsed at iter 1623). Zero the
+        # row: its t_mat row/col reduces to lam*e_i and its zero column drops
+        # its solution component from delta, so the walker is inert.
+        row_ok = jnp.all(jnp.isfinite(o), axis=1, keepdims=True)
+        o = jnp.where(row_ok, o, 0.0)
         o = (o - jnp.mean(o, axis=0, keepdims=True)) / jnp.sqrt(
             jnp.asarray(batch, o.dtype))
         eps = -diff / jnp.sqrt(jnp.asarray(batch, o.dtype))
@@ -127,9 +134,15 @@ def make_spring_optimizer(logabs_network,
                 lr * lr * sq_fisher, 1e-30)))
         scaled = lr * coeff * delta
 
-        new_flat = flat_params + scaled
+        # Finite-step rollback (same contract as optim/adam.py): a failed
+        # Cholesky or residual overflow must skip the step, not NaN params.
+        ok = jnp.all(jnp.isfinite(scaled))
+        new_flat = jnp.where(ok, flat_params + scaled, flat_params)
         new_params = unravel(new_flat)
-        new_state = SpringState(t=state.t + 1, prev_delta=coeff * delta)
+        new_state = SpringState(
+            t=state.t + 1,
+            prev_delta=jnp.where(ok, coeff * delta,
+                                 jnp.zeros_like(state.prev_delta)))
         aux = AuxiliaryLossData(variance=variance, local_energy=e_l,
                                 clipped_energy=diff + loss,
                                 grad_local_energy=None, local_energy_mat=None)

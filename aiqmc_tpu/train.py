@@ -749,11 +749,23 @@ def train(cfg: ml_collections.ConfigDict,
     n_states = cfg.system.get("states", 0)
     state_cols = [f"energy_state_{k}" for k in range(n_states)]
     schema += state_cols
+    guard_cfg = cfg.optim.get("guard", None)
+    guard_on = bool(guard_cfg and guard_cfg.get("enable", False))
+    if guard_on:
+        # Surface the step-rejection counter so a stalled (all-rejecting)
+        # run is visible in the CSV rather than silently frozen.
+        schema.append("guard_rejected")
     schema += list(obs_fns.keys())
+    # In a multi-process run every host executes this loop; only process 0
+    # may touch the (typically shared) save_path — concurrent writes to the
+    # same CSV/npz corrupt them (ref drivers are single-host and never hit
+    # this; ferminet/train.py gates nothing either, a latent defect there).
+    is_chief = jax.process_index() == 0
     if writer_manager is None:
-        writer_manager = writers.Writer(
+        writer_manager = (writers.Writer(
             name="train_states", schema=schema,
             directory=ckpt_save_path, iteration_key=None, log=False)
+            if is_chief else writers.NullWriter())
 
     from aiqmc_tpu.utils.statistics import ExponentiallyWeightedStat
     ew = ExponentiallyWeightedStat(decay=0.99)
@@ -801,6 +813,9 @@ def train(cfg: ml_collections.ConfigDict,
                     se = np.asarray(stats["state_energies"]).reshape(-1)
                     extra.update({c: float(v)
                                   for c, v in zip(state_cols, se)})
+                if guard_on:
+                    extra["guard_rejected"] = int(
+                        np.asarray(stats["guard_rejected"]))
                 writer.write(t, step=t, energy=loss_host,
                              variance=float(np.asarray(stats["variance"]).real),
                              pmove=float(np.asarray(pmove)),
@@ -811,10 +826,12 @@ def train(cfg: ml_collections.ConfigDict,
                 jax.profiler.stop_trace()
                 profiling = False
             if time.time() - time_of_last_ckpt > cfg.log.save_frequency * 60:
-                checkpoint_lib.save(ckpt_save_path, t, _gather_data(data),
-                                    jax.device_get(params),
-                                    jax.device_get(opt_state),
-                                    extra=_ckpt_extra())
+                gathered = _gather_data(data)  # collective: all hosts call
+                if is_chief:
+                    checkpoint_lib.save(ckpt_save_path, t, gathered,
+                                        jax.device_get(params),
+                                        jax.device_get(opt_state),
+                                        extra=_ckpt_extra())
                 time_of_last_ckpt = time.time()
         if profiling:
             # Training ended (or the window overshot iterations) with the
@@ -822,10 +839,14 @@ def train(cfg: ml_collections.ConfigDict,
             jax.block_until_ready(loss_val)
             jax.profiler.stop_trace()
             profiling = False
-        checkpoint_lib.save(ckpt_save_path, t_init + cfg.optim.iterations - 1,
-                            _gather_data(data), jax.device_get(params),
-                            jax.device_get(opt_state), extra=_ckpt_extra())
-        if density is not None and density["count"] > 0:
+        gathered = _gather_data(data)  # collective: all hosts call
+        if is_chief:
+            checkpoint_lib.save(ckpt_save_path,
+                                t_init + cfg.optim.iterations - 1,
+                                gathered, jax.device_get(params),
+                                jax.device_get(opt_state),
+                                extra=_ckpt_extra())
+        if is_chief and density is not None and density["count"] > 0:
             np.save(os.path.join(ckpt_save_path, "density_rdm.npy"),
                     density["accum"] / density["count"])
 

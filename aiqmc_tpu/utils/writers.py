@@ -58,3 +58,23 @@ class Writer(contextlib.AbstractContextManager):
 
     def __exit__(self, exc_type, exc_val, exc_tb):
         self._file.close()
+
+
+class NullWriter(contextlib.AbstractContextManager):
+    """Writer-shaped no-op for non-chief hosts in multi-process runs.
+
+    All processes execute the training loop (the jitted step and observable
+    evaluations are collectives), but only process 0 may write to the shared
+    save_path; the rest get this sink.
+    """
+
+    filename = os.devnull
+
+    def __enter__(self) -> "NullWriter":
+        return self
+
+    def write(self, t: int, **data):
+        del t, data
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        return None

@@ -81,7 +81,14 @@ def build_step(batch):
     return jax, step, params, opt_state, data
 
 
-def measure(batch, warmup, timed, prebuilt=None):
+def measure(batch, warmup, timed, prebuilt=None, return_state=False):
+    """Times the combined step; returns (walker_steps/s/chip, last_loss).
+
+    With return_state=True also returns the LIVE output arrays
+    (params, opt_state, data) as a third element: the step donates
+    opt_state/data, so any buffers the caller passed via ``prebuilt`` are
+    deleted after the first call and must not be reused.
+    """
     import jax
     import jax.numpy as jnp
     jax_mod, step, params, opt_state, data = prebuilt or build_step(batch)
@@ -100,7 +107,11 @@ def measure(batch, warmup, timed, prebuilt=None):
     elapsed = time.perf_counter() - start
     n_chips = jax.device_count()
     walker_steps = batch * MCMC_STEPS * timed
-    return walker_steps / elapsed / n_chips, float(loss.real if hasattr(loss, "real") else loss)
+    rate = walker_steps / elapsed / n_chips
+    loss_f = float(loss.real if hasattr(loss, "real") else loss)
+    if return_state:
+        return rate, loss_f, (params, opt_state, data)
+    return rate, loss_f
 
 
 def cpu_baseline():

@@ -43,9 +43,11 @@ def main():
     # Steady-state step time: chain outputs -> inputs like training does
     # (bench.measure), so iterations pipeline; re-copying inputs per call
     # instead was measured 2.2x slower than the real training loop.
-    steps_per_sec_per_chip, _ = bench.measure(
+    # measure's step donates opt_state/data: the buffers we hold here are
+    # deleted after its first call, so take the LIVE outputs back for --trace.
+    steps_per_sec_per_chip, _, (params, opt_state, data) = bench.measure(
         bench.BATCH, 2, 10,
-        prebuilt=(jax, step, params, opt_state, data))
+        prebuilt=(jax, step, params, opt_state, data), return_state=True)
     t_step = bench.BATCH * bench.MCMC_STEPS / (
         steps_per_sec_per_chip * jax.device_count())
 
@@ -60,9 +62,7 @@ def main():
 
     if trace:
         with jax.profiler.trace("/tmp/mfu_trace"):
-            out = step(params,
-                       jax.tree_util.tree_map(jnp.array, opt_state),
-                       jax.tree_util.tree_map(jnp.array, data), key, width)
+            out = step(params, opt_state, data, key, width)
             jax.block_until_ready(out)
         print("trace written to /tmp/mfu_trace")
 

@@ -81,7 +81,12 @@ def test_extras_roundtrip(tmp_path):
 
 def test_param_mismatch_diagnosis(tmp_path):
     """A jastrow_ae presence mismatch produces an actionable error
-    (the jastrow_ae auto-default changed for use_pp systems)."""
+    (the jastrow_ae auto-default changed for use_pp systems).
+
+    The realistic failure shape: every network emits a top-level
+    'jastrow_ae' entry — the null jastrow's params are an EMPTY dict — so
+    the diagnosis must compare leaf paths, not top-level keys (flax
+    from_bytes would otherwise silently drop the saved Jastrow leaves)."""
     import pytest
     saved = {"streams": {"w": jnp.ones((2, 2))},
              "jastrow_ae": {"alpha": jnp.ones((3,))}}
@@ -89,6 +94,25 @@ def test_param_mismatch_diagnosis(tmp_path):
                      atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
     checkpoint.save(str(tmp_path), 0, data, saved, {})
     found = checkpoint.find_last_checkpoint(str(tmp_path))
-    target = {"streams": {"w": jnp.zeros((2, 2))}}  # network built WITHOUT it
+    # Network built with jastrow_ae=False: the key is PRESENT but empty.
+    target = {"streams": {"w": jnp.zeros((2, 2))}, "jastrow_ae": {}}
     with pytest.raises(ValueError, match="jastrow_ae=True"):
+        checkpoint.restore(found, target_params=target)
+    # Key entirely absent (hand-built trees) must still be caught.
+    with pytest.raises(ValueError, match="jastrow_ae=True"):
+        checkpoint.restore(found,
+                           target_params={"streams": {"w": jnp.zeros((2, 2))}})
+
+
+def test_param_shape_mismatch_diagnosis(tmp_path):
+    """Same leaf paths but different shapes (hidden_dims change) -> clear
+    error naming the first offending leaf, not a cryptic flax failure."""
+    import pytest
+    saved = {"streams": {"w": jnp.ones((2, 2))}, "jastrow_ae": {}}
+    data = AINetData(positions=jnp.ones((2, 6)), spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    checkpoint.save(str(tmp_path), 0, data, saved, {})
+    found = checkpoint.find_last_checkpoint(str(tmp_path))
+    target = {"streams": {"w": jnp.zeros((4, 4))}, "jastrow_ae": {}}
+    with pytest.raises(ValueError, match="streams/w"):
         checkpoint.restore(found, target_params=target)

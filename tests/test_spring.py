@@ -44,6 +44,39 @@ def test_spring_large_damping_is_descent_direction():
     assert float(new_params["a"]) < 1.2
 
 
+def test_spring_singular_walker_is_inert():
+    """A walker with a non-finite score/energy must not poison the step
+    (the on-chip c_spring collapse mode): params stay finite and the update
+    matches the clean-batch update direction."""
+    from aiqmc_tpu.optim import spring as spring_lib
+    from aiqmc_tpu.models.network import AINetData
+
+    def logabs(params, pos, spins, atoms, charges):
+        # log r term: gradient blows up at r = 0 -> non-finite score row.
+        r = jnp.linalg.norm(pos)
+        return -params["a"] * jnp.sum(pos ** 2) + jnp.log(r)
+
+    def local_energy(params, key, data):
+        r2 = jnp.sum(data.positions ** 2)
+        return 3.0 * params["a"] - 2.0 * params["a"] ** 2 * r2 + 0.5 * r2, None
+
+    params = {"a": jnp.asarray(1.0)}
+    opts = spring_lib.SpringOptions(damping=1e-3, mu=0.9)
+    init, step = spring_lib.make_spring_optimizer(
+        logabs, local_energy, params, opts)
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (128, 3))
+    bad = pos.at[7].set(jnp.zeros(3))           # singular: grad log r = inf
+    nan = pos.at[7].set(jnp.full(3, jnp.nan))   # outright NaN position
+    for positions in (bad, nan):
+        data = AINetData(positions=positions, spins=jnp.asarray([1.0]),
+                         atoms=jnp.zeros((1, 3)), charges=jnp.asarray([1.0]))
+        new_params, state, loss, aux = step(params, init(params), key, data)
+        assert np.isfinite(float(new_params["a"])), "params went non-finite"
+        assert np.isfinite(float(loss))
+        assert int(np.asarray(state.t)) == 1
+
+
 def test_spring_trains_helium():
     """End-to-end: SPRING descends He toward -2.90 Ha and respects the
     variational bound."""
