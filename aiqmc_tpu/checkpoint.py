@@ -154,7 +154,8 @@ def _leaf_shapes(tree, prefix=()):
 def restore(restore_filename: str,
             batch_size: Optional[int] = None,
             target_params=None,
-            target_opt_state=None
+            target_opt_state=None,
+            allow_batch_resize: bool = False
             ) -> Tuple[int, AINetData, object, object, dict]:
     """Loads a checkpoint, resuming at t+1 (ref checkpoint.py:63-71).
 
@@ -205,7 +206,20 @@ def restore(restore_filename: str,
         else:
             opt_state = leaves
     if batch_size is not None and data.positions.shape[0] != batch_size:
-        raise ValueError(
-            f"Checkpoint batch size {data.positions.shape[0]} does not match"
-            f" requested batch size {batch_size}.")
+        if not allow_batch_resize:
+            raise ValueError(
+                f"Checkpoint batch size {data.positions.shape[0]} does not"
+                f" match requested batch size {batch_size}. Set"
+                f" cfg.log.restore_resize=True to subsample/tile walkers.")
+        # Walkers are (approximately) i.i.d. |psi|^2 samples, so shrinking is
+        # a plain subsample and growing is tiling; the trainer's burn-in
+        # decorrelates the copies before any statistics are taken.
+        pos = np.asarray(data.positions)
+        reps = -(-batch_size // pos.shape[0])  # ceil
+        pos = np.tile(pos, (reps, 1))[:batch_size]
+        logging.warning(
+            "Resized restored walker batch %d -> %d (restore_resize).",
+            data.positions.shape[0], batch_size)
+        data = AINetData(positions=pos, spins=data.spins, atoms=data.atoms,
+                         charges=data.charges)
     return t, data, params, opt_state, extra

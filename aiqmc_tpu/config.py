@@ -178,6 +178,8 @@ def default() -> ml_collections.ConfigDict:
         "log": {
             "save_path": "",
             "restore_path": "",
+            "restore_resize": False,    # allow batch_size != checkpoint batch
+                                        # (subsample / tile walkers on restore)
             "save_frequency": 10.0,     # minutes
             "stats_frequency": 1,
             "profile_steps": None,      # (start, stop) step window -> XLA trace

@@ -90,7 +90,10 @@ def main(atoms,
     key, subkey = jax.random.split(key)
     params_init = network.init(subkey)
     t_init, data, params, _, _ = checkpoint_lib.restore(
-        ckpt_restore_filename, batch_size, target_params=params_init)
+        ckpt_restore_filename, batch_size, target_params=params_init,
+        allow_batch_resize=True)  # DMC population is free to differ from the
+                                  # VMC batch; tiled walkers decorrelate in
+                                  # the first blocks
     data = nn.AINetData(
         positions=jnp.asarray(data.positions), spins=jnp.asarray(data.spins),
         atoms=jnp.asarray(data.atoms), charges=jnp.asarray(data.charges))

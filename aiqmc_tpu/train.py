@@ -628,7 +628,8 @@ def train(cfg: ml_collections.ConfigDict,
     if ckpt_restore_filename:
         t_init, rdata, params, opt_state, ckpt_extra = checkpoint_lib.restore(
             ckpt_restore_filename, cfg.batch_size,
-            target_params=params, target_opt_state=opt_state)
+            target_params=params, target_opt_state=opt_state,
+            allow_batch_resize=bool(cfg.log.get("restore_resize", False)))
         rpos = jnp.asarray(rdata.positions)
         if info.num_hosts > 1:
             # Checkpoints hold the GLOBAL walker batch; each host takes its

@@ -62,6 +62,27 @@ def test_batch_size_mismatch_raises(tmp_path):
     raise AssertionError("expected ValueError on batch mismatch")
 
 
+def test_batch_resize_subsample_and_tile(tmp_path):
+    """restore(allow_batch_resize=True) shrinks by subsampling and grows by
+    tiling (beyond the reference: enables batch changes across restores, e.g.
+    a KFAC->SPRING continuation at a smaller jacobian-friendly batch)."""
+    params = {"w": jnp.ones((2, 2))}
+    pos = jnp.arange(4 * 6, dtype=jnp.float32).reshape(4, 6)
+    data = AINetData(positions=pos, spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    checkpoint.save(str(tmp_path), 0, data, params, {})
+    found = checkpoint.find_last_checkpoint(str(tmp_path))
+    _, small, _, _, _ = checkpoint.restore(found, batch_size=2,
+                                           allow_batch_resize=True)
+    np.testing.assert_array_equal(np.asarray(small.positions),
+                                  np.asarray(pos)[:2])
+    _, big, _, _, _ = checkpoint.restore(found, batch_size=6,
+                                         allow_batch_resize=True)
+    assert big.positions.shape == (6, 6)
+    np.testing.assert_array_equal(np.asarray(big.positions[4:]),
+                                  np.asarray(pos)[:2])
+
+
 def test_extras_roundtrip(tmp_path):
     """mcmc_width / density-state extras survive the roundtrip
     (ref ferminet/checkpoint.py:92-181 payload extras)."""
