@@ -24,6 +24,14 @@ TV-clipped) residual:
 mu=0 recovers plain MinSR; the mu-coupled previous direction is SPRING's
 iterate-reuse, which stabilises the small-lam regime. Real wavefunctions only
 (the magnitude carries the Fisher information; matches the KFAC restriction).
+
+TPU precision note: every matmul touching O runs at Precision.HIGHEST. The
+default TPU matmul truncates f32 inputs to bf16 (~1e-2 relative error on the
+Gram entries), which swamps the lam ~ 1e-3 damping: the Cholesky solve then
+returns directions that look Fisher-bounded in bf16 but are near O's true
+null space and enormous in parameter space — observed on-chip as finite,
+non-variational divergence with pmove collapse (runs/c_spring_big) while the
+identical step is stable on CPU (f32 throughout).
 """
 
 from __future__ import annotations
@@ -119,16 +127,21 @@ def make_spring_optimizer(logabs_network,
         eps = -diff / jnp.sqrt(jnp.asarray(batch, o.dtype))
 
         # Sample-space solve: (O O^T + lam I) x = eps - mu O delta_prev.
-        t_mat = o @ o.T + options.damping * jnp.eye(batch, dtype=o.dtype)
-        rhs = eps - options.mu * (o @ state.prev_delta)
+        # HIGHEST precision is load-bearing on TPU (see module docstring).
+        hi = jax.lax.Precision.HIGHEST
+        t_mat = (jnp.matmul(o, o.T, precision=hi)
+                 + options.damping * jnp.eye(batch, dtype=o.dtype))
+        rhs = eps - options.mu * jnp.matmul(o, state.prev_delta, precision=hi)
         chol = jax.scipy.linalg.cho_factor(t_mat)
         x = jax.scipy.linalg.cho_solve(chol, rhs)
-        delta = options.mu * state.prev_delta + o.T @ x
+        delta = (options.mu * state.prev_delta
+                 + jnp.matmul(o.T, x, precision=hi))
 
         # Fisher-norm trust region, as in optim/kfac.py: the Fisher quadratic
         # form of delta is 4 |Obar delta|^2 (log-density score = 2 o).
         lr = options.learning_rate_schedule(state.t)
-        sq_fisher = 4.0 * jnp.sum((o @ delta) ** 2)
+        sq_fisher = 4.0 * jnp.sum(
+            jnp.matmul(o, delta, precision=hi) ** 2)
         coeff = jnp.minimum(
             1.0, jnp.sqrt(options.norm_constraint / jnp.maximum(
                 lr * lr * sq_fisher, 1e-30)))

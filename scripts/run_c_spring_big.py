@@ -58,6 +58,10 @@ with cfg.unlocked():
     cfg.optim.spring.lr.delay = 10000.0
     cfg.optim.spring.damping = 1e-3
     cfg.optim.spring.mu = 0.99
+    # Belt-and-braces after the 2026-08-17 divergence (fixed by HIGHEST-
+    # precision O-matmuls in optim/spring.py): reject statistical outlier
+    # steps instead of letting them compound.
+    cfg.optim.guard.enable = True
     cfg.pretrain.iterations = 0          # restoring, not cold-starting
     cfg.mcmc.tstep = 0.25
     cfg.mcmc.steps = 10

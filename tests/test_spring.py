@@ -107,3 +107,48 @@ def test_spring_trains_helium():
     assert tail.mean() < -2.5
     # Variational bound with MC noise margin.
     assert tail.mean() > -2.95
+
+
+def test_spring_matmuls_are_highest_precision():
+    """Every dot touching the jacobian O must be Precision.HIGHEST: default
+    TPU matmuls truncate f32 to bf16, which swamps the lam ~ 1e-3 damping of
+    the B x B solve and produced finite non-variational divergence on-chip
+    (runs/c_spring_big). Inspect the traced jaxpr so CPU CI catches any
+    regression that only misbehaves on TPU."""
+    from aiqmc_tpu.optim import spring as spring_lib
+    from aiqmc_tpu.models.network import AINetData
+
+    def logabs(params, pos, spins, atoms, charges):
+        return -params["a"] * jnp.sum(pos ** 2)
+
+    def local_energy(params, key, data):
+        a = params["a"]
+        r2 = jnp.sum(data.positions ** 2)
+        return 3.0 * a - 2.0 * a ** 2 * r2 + 0.5 * r2, None
+
+    params = {"a": jnp.asarray(1.2)}
+    init, step = spring_lib.make_spring_optimizer(
+        logabs, local_energy, params, spring_lib.SpringOptions())
+    state = init(params)
+    data = AINetData(positions=jnp.ones((8, 3)), spins=jnp.asarray([1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.asarray([1.0]))
+    jaxpr = jax.make_jaxpr(step)(params, state, jax.random.PRNGKey(0), data)
+
+    def dots(jpr):
+        for eqn in jpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                yield eqn
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    yield from dots(sub.jaxpr)
+
+    found = list(dots(jaxpr.jaxpr))
+    assert found, "expected dot_general eqns in the SPRING step"
+    hi = jax.lax.Precision.HIGHEST
+    bad = [e for e in found if e.params.get("precision") != (hi, hi)]
+    # The only non-O dot_generals in this toy step come from the scalar model;
+    # a real network contributes more. Require that at least the four O-dots
+    # are HIGHEST and that nothing of O's (batch x nparams) shape is default.
+    big = [e for e in bad
+           if any(v.aval.ndim >= 2 for v in e.invars if hasattr(v, "aval"))]
+    assert not big, f"non-HIGHEST matrix dot_general(s) in SPRING step: {big}"
