@@ -117,14 +117,18 @@ def make_spring_optimizer(logabs_network,
                      in_axes=(None, 0))(flat_params, data.positions)
         # A walker at a singular configuration (node, coalescence) has a
         # non-finite score row; one such row NaNs the whole B x B solve
-        # (observed on-chip: runs/c_spring collapsed at iter 1623). Zero the
-        # row: its t_mat row/col reduces to lam*e_i and its zero column drops
-        # its solution component from delta, so the walker is inert.
+        # (observed on-chip: runs/c_spring collapsed at iter 1623). Make the
+        # walker INERT: exclude it from the centering mean, zero its centered
+        # row AND its residual entry, so its t_mat row/col is exactly lam*e_i
+        # with rhs_i = 0 -> x_i = 0 and it contributes nothing to delta,
+        # independent of the singular walker's content.
         row_ok = jnp.all(jnp.isfinite(o), axis=1, keepdims=True)
         o = jnp.where(row_ok, o, 0.0)
-        o = (o - jnp.mean(o, axis=0, keepdims=True)) / jnp.sqrt(
-            jnp.asarray(batch, o.dtype))
-        eps = -diff / jnp.sqrt(jnp.asarray(batch, o.dtype))
+        n_ok = jnp.maximum(jnp.sum(row_ok.astype(o.dtype)), 1.0)
+        o_mean = jnp.sum(o, axis=0, keepdims=True) / n_ok
+        sqrt_b = jnp.sqrt(jnp.asarray(batch, o.dtype))
+        o = jnp.where(row_ok, o - o_mean, 0.0) / sqrt_b
+        eps = jnp.where(row_ok[:, 0], -diff, 0.0) / sqrt_b
 
         # Sample-space solve: (O O^T + lam I) x = eps - mu O delta_prev.
         # HIGHEST precision is load-bearing on TPU (see module docstring).

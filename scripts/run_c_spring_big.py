@@ -27,8 +27,9 @@ extra_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c_spring_big"
 restore_path = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/runs/c_kfac_big"
 
-# cfg.optim.iterations is the TOTAL step count; the restore resumes at the
-# checkpoint's t, so turn "extra" into an absolute target.
+# cfg.optim.iterations counts ADDITIONAL steps from the restored t
+# (train.py loops range(t_init, t_init + iterations)), so pass "extra"
+# straight through; the restore resumes at the checkpoint's t by itself.
 from aiqmc_tpu import checkpoint as ckpt_lib  # noqa: E402
 last = (ckpt_lib.find_last_checkpoint(save_path)
         or ckpt_lib.find_last_checkpoint(restore_path))
@@ -37,8 +38,8 @@ if last:
     import re
     m = re.search(r"(\d+)\.npz$", last)
     t0 = int(m.group(1)) + 1 if m else 0
-iterations = t0 + extra_iters
-print("resuming at t=%d -> training to %d" % (t0, iterations))
+iterations = extra_iters
+print("resuming at t=%d -> training to %d" % (t0, t0 + iterations))
 
 cfg = c_atom_ccecp.get_config()
 with cfg.unlocked():

@@ -52,15 +52,20 @@ def test_spring_singular_walker_is_inert():
     from aiqmc_tpu.models.network import AINetData
 
     def logabs(params, pos, spins, atoms, charges):
-        # log r term: gradient blows up at r = 0 -> non-finite score row.
+        # b*log r term: its score d/db = log r -> -inf at r = 0, so the
+        # singular walker's jacobian ROW is non-finite (not just extreme).
         r = jnp.linalg.norm(pos)
-        return -params["a"] * jnp.sum(pos ** 2) + jnp.log(r)
+        return -params["a"] * jnp.sum(pos ** 2) + params["b"] * jnp.log(r)
 
     def local_energy(params, key, data):
         r2 = jnp.sum(data.positions ** 2)
-        return 3.0 * params["a"] - 2.0 * params["a"] ** 2 * r2 + 0.5 * r2, None
+        # 1/r2 divergence: the singular walker's E_L is inf (r=0) or nan
+        # (nan position) — both non-finite, so _mask_nonfinite treats the
+        # two cases identically.
+        return (3.0 * params["a"] - 2.0 * params["a"] ** 2 * r2
+                + 0.5 * r2 + 1e-6 / r2), None
 
-    params = {"a": jnp.asarray(1.0)}
+    params = {"a": jnp.asarray(1.0), "b": jnp.asarray(0.1)}
     opts = spring_lib.SpringOptions(damping=1e-3, mu=0.9)
     init, step = spring_lib.make_spring_optimizer(
         logabs, local_energy, params, opts)
@@ -68,6 +73,7 @@ def test_spring_singular_walker_is_inert():
     pos = jax.random.normal(key, (128, 3))
     bad = pos.at[7].set(jnp.zeros(3))           # singular: grad log r = inf
     nan = pos.at[7].set(jnp.full(3, jnp.nan))   # outright NaN position
+    results = []
     for positions in (bad, nan):
         data = AINetData(positions=positions, spins=jnp.asarray([1.0]),
                          atoms=jnp.zeros((1, 3)), charges=jnp.asarray([1.0]))
@@ -75,6 +81,13 @@ def test_spring_singular_walker_is_inert():
         assert np.isfinite(float(new_params["a"])), "params went non-finite"
         assert np.isfinite(float(loss))
         assert int(np.asarray(state.t)) == 1
+        results.append((float(new_params["a"]), float(new_params["b"])))
+    # True inertness: the update must be IDENTICAL no matter WHAT the
+    # singular walker's content is (r=0 coalescence vs NaN position) — the
+    # masked row must contribute nothing to the centering mean, the Gram
+    # matrix, or the residual. Regression for the zero-before-center bug
+    # where the masked row became -mean(o) after centering.
+    np.testing.assert_allclose(results[0], results[1], rtol=0, atol=0)
 
 
 def test_spring_trains_helium():
