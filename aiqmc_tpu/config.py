@@ -84,7 +84,12 @@ def default() -> ml_collections.ConfigDict:
             "full_equivariance": True,  # exactly antisymmetric variant
             "bounded_envelope": True,   # decaying-everywhere envelope (see models.envelope)
             "regular_harmonics": True,  # smooth solid harmonics (see models.harmonics)
-            "envelope_type": "pp_like", # pp_like | isotropic | diagonal | full | sto | sto_poly | null
+            "envelope_type": "pp_like", # pp_like | isotropic | diagonal | full |
+                                        # sto | sto_poly | null | gto (ab-initio
+                                        # flexible Gaussian basis, gen-1 namesake)
+            "gto_basis": "",            # gto envelope basis: "" = embedded
+                                        # STO-3G/even-tempered | "even_tempered"
+                                        # | nwchem file path (cc-pVDZ-class)
             "use_schnet": False,        # SchNet-style two-electron convolutions
         "h_stream": "ainet",        # ainet (conv-reduce, ref nn.py:294-300) |
                                     # ferminet (full linear on symmetric features)

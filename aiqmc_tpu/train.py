@@ -59,7 +59,13 @@ def _envelope_kwargs(cfg, nelectrons: int):
     """Construction-time kwargs for zoo envelopes; the multiwave (Bloch)
     envelope needs the Cartesian k-point set of the simulation cell
     (ref ferminet/configs/heg.py:24-31)."""
-    if cfg.network.get("envelope_type", "pp_like") != "multiwave":
+    envelope_type = cfg.network.get("envelope_type", "pp_like")
+    if envelope_type == "gto":
+        # Ab-initio flexible-Gaussian-basis envelope: channel table from the
+        # system's elements + a basis spec (see envelopes_zoo.make_gto_envelope).
+        return {"charges": np.asarray(cfg.system.charges),
+                "basis": cfg.network.get("gto_basis", "") or None}
+    if envelope_type != "multiwave":
         return None
     if not cfg.system.get("pbc", False):
         raise ValueError("multiwave envelope requires cfg.system.pbc")
