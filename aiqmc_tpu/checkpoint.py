@@ -89,6 +89,32 @@ def save(save_path: str, t: int, data: AINetData, params, opt_state,
     return ckpt_filename
 
 
+EMA_EXTRA_KEY = "ema_params_msgpack"
+
+
+def ema_to_extra(ema_params) -> np.ndarray:
+    """Serialises a Polyak-averaged param pytree for the ``extra`` payload.
+
+    Extras are flat npz arrays, so the pytree goes through the same msgpack
+    encoding as ``params_msgpack`` and is stored as a uint8 byte array under
+    ``EMA_EXTRA_KEY`` (old checkpoints simply lack the key — restores stay
+    compatible both ways)."""
+    return np.frombuffer(serialization.to_bytes(_to_host(ema_params)),
+                         dtype=np.uint8)
+
+
+def ema_from_extra(extra: Optional[dict], params_template):
+    """Decodes the EMA param pytree from a restore's ``extra`` dict.
+
+    Returns None when the checkpoint predates EMA tracking (or the saving run
+    had ``optim.ema_decay == 0``); the template supplies tree structure and
+    leaf shapes."""
+    if not extra or EMA_EXTRA_KEY not in extra:
+        return None
+    return serialization.from_bytes(_to_host(params_template),
+                                    np.asarray(extra[EMA_EXTRA_KEY]).tobytes())
+
+
 def _diagnose_param_mismatch(target_params, params_bytes) -> Optional[str]:
     """Human-readable cause when a checkpoint's param tree doesn't match.
 

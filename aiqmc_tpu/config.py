@@ -19,6 +19,11 @@ def default() -> ml_collections.ConfigDict:
         "optim": {
             "iterations": 100,
             "optimizer": "adam",        # adam | lamb | kfac | spring | none
+            "ema_decay": 0.0,           # >0: maintain Polyak-averaged params
+                                        # (ema <- d*ema + (1-d)*params each
+                                        # step), saved in checkpoint extras;
+                                        # evaluate/DMC from them via
+                                        # log.restore_use_ema / dmc use_ema
             # rate / (1 + t/delay)^decay. NOTE: the reference hardcodes
             # delay=1.0, decay=10000 (main_pp_adam_muti_GPU.py:158-159), which
             # collapses the LR to 0.5^10000 = 0 after the first step — training
@@ -185,6 +190,9 @@ def default() -> ml_collections.ConfigDict:
             "restore_path": "",
             "restore_resize": False,    # allow batch_size != checkpoint batch
                                         # (subsample / tile walkers on restore)
+            "restore_use_ema": False,   # start from the checkpoint's Polyak-
+                                        # averaged params (requires the saving
+                                        # run to have set optim.ema_decay > 0)
             "save_frequency": 10.0,     # minutes
             "stats_frequency": 1,
             "profile_steps": None,      # (start, stop) step window -> XLA trace

@@ -57,6 +57,7 @@ def main(atoms,
          network_kwargs: Optional[dict] = None,
          use_tmoves: bool = True,
          fused_step: bool = False,
+         use_ema: bool = False,
          seed: int = 1):
     """Runs DMC; returns (per-block energies, final data, final weights)."""
     del structure
@@ -89,11 +90,20 @@ def main(atoms,
 
     key, subkey = jax.random.split(key)
     params_init = network.init(subkey)
-    t_init, data, params, _, _ = checkpoint_lib.restore(
+    t_init, data, params, _, ckpt_extra = checkpoint_lib.restore(
         ckpt_restore_filename, batch_size, target_params=params_init,
         allow_batch_resize=True)  # DMC population is free to differ from the
                                   # VMC batch; tiled walkers decorrelate in
                                   # the first blocks
+    if use_ema:
+        # DMC from the Polyak-averaged trial (requires the VMC run to have
+        # set cfg.optim.ema_decay > 0; see train.py EMA tracking).
+        ema_params = checkpoint_lib.ema_from_extra(ckpt_extra, params)
+        if ema_params is None:
+            raise ValueError(
+                "use_ema: VMC checkpoint carries no EMA params — train with "
+                "cfg.optim.ema_decay > 0")
+        params = ema_params
     data = nn.AINetData(
         positions=jnp.asarray(data.positions), spins=jnp.asarray(data.spins),
         atoms=jnp.asarray(data.atoms), charges=jnp.asarray(data.charges))

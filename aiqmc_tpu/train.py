@@ -648,6 +648,16 @@ def train(cfg: ml_collections.ConfigDict,
             spins=jnp.asarray(rdata.spins),
             atoms=jnp.asarray(rdata.atoms),
             charges=jnp.asarray(rdata.charges))
+        if cfg.log.get("restore_use_ema", False):
+            # Evaluate/continue from the Polyak average instead of the last
+            # raw iterate (averaged iterates have lower MC fluctuation at a
+            # plateau; standard NNQMC eval trick).
+            ema_restored = checkpoint_lib.ema_from_extra(ckpt_extra, params)
+            if ema_restored is None:
+                raise ValueError(
+                    "log.restore_use_ema: checkpoint carries no EMA params — "
+                    "the saving run must set cfg.optim.ema_decay > 0")
+            params = ema_restored
     elif (cfg.get("pretrain", None) and cfg.pretrain.iterations > 0
           and not cfg.system.get("states", 0)):
         # Orbital pretraining before VMC (ref ferminet/train.py:427-438).
@@ -669,6 +679,16 @@ def train(cfg: ml_collections.ConfigDict,
             params = multi_host.broadcast_tree(params)
         opt_state = components.init(params)
 
+    # Polyak-averaged params (cfg.optim.ema_decay > 0): tracked outside the
+    # combined step (one tiny fused tree_map per iteration), checkpointed in
+    # the extras payload so old checkpoints stay restorable either way.
+    ema_decay = float(cfg.optim.get("ema_decay", 0.0))
+    ema_params = None
+    if ema_decay > 0.0:
+        ema_params = checkpoint_lib.ema_from_extra(ckpt_extra, params)
+        if ema_params is None:
+            ema_params = params
+
     # Distribute: walkers sharded (assembled from process-local shards in a
     # multi-process run), params/opt state replicated.
     data = nn.AINetData(
@@ -678,11 +698,17 @@ def train(cfg: ml_collections.ConfigDict,
         charges=mesh_lib.replicate(data.charges, mesh))
     params = mesh_lib.replicate(params, mesh)
     opt_state = mesh_lib.replicate(opt_state, mesh)
+    if ema_params is not None:
+        ema_params = mesh_lib.replicate(ema_params, mesh)
     # All hosts must hold identical params after init/restore
     # (ref ferminet/utils/multi_host.py:22-44); no-op single-host.
     multi_host.check_synced(params)
 
     jit_step = jax.jit(combined_step, donate_argnums=(1, 2))
+    if ema_params is not None:
+        ema_step = jax.jit(lambda e, p: jax.tree_util.tree_map(
+            lambda a, b: ema_decay * a + (1.0 - ema_decay) * b, e, p),
+            donate_argnums=(0,))
 
     # Adaptive proposal width for the random-walk sampler
     # (ref ferminet/mcmc.py:293-327, train.py:862-894); width resumes from the
@@ -740,6 +766,9 @@ def train(cfg: ml_collections.ConfigDict,
 
     def _ckpt_extra():
         extra = {"mcmc_width": np.asarray(mcmc_width)}
+        if ema_params is not None:
+            extra[checkpoint_lib.EMA_EXTRA_KEY] = checkpoint_lib.ema_to_extra(
+                jax.device_get(ema_params))
         if density is not None:
             s = density["state"]
             extra.update(
@@ -795,6 +824,8 @@ def train(cfg: ml_collections.ConfigDict,
             key, subkey = jax.random.split(key)
             params, opt_state, data, loss_val, stats, pmove = jit_step(
                 params, opt_state, data, subkey, mcmc_width)
+            if ema_params is not None:
+                ema_params = ema_step(ema_params, params)
             if cfg.mcmc.algorithm == "random_walk":
                 new_width, pmoves_buf = rw_mcmc.update_mcmc_width(
                     t - t_init, float(mcmc_width), cfg.mcmc.adapt_frequency,
