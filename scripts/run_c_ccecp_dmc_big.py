@@ -22,7 +22,19 @@ iters = int(sys.argv[3]) if len(sys.argv) > 3 else 40
 save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c_dmc_big"
 tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
 
+# Auto-detect Polyak-averaged params: if the VMC run tracked an EMA
+# (cfg.optim.ema_decay > 0), run DMC from the averaged trial.
+from aiqmc_tpu import checkpoint as ckpt_lib
+use_ema = False
+_last = ckpt_lib.find_last_checkpoint(restore)
+if _last:
+    with open(_last, "rb") as f:
+        use_ema = ("extra_" + ckpt_lib.EMA_EXTRA_KEY
+                   in np.load(f, allow_pickle=False).files)
+print("trial checkpoint:", _last, "use_ema:", use_ema)
+
 energies, data, weights = driver.main(
+    use_ema=use_ema,
     atoms=np.zeros((1, 3)), charges=np.array([4.0]),
     spins=np.array([1.0, 1.0, 1.0, -1.0]),
     tstep=tstep, nelectrons=4, nsteps=10, natoms=1, ndim=3,

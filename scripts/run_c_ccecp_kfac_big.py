@@ -41,6 +41,9 @@ with cfg.unlocked():
     cfg.optim.iterations = iterations
     cfg.optim.kfac.lr.rate = 0.05
     cfg.optim.kfac.lr.delay = 3000.0
+    # Polyak average over ~1k recent iterates: the DMC stage evaluates the
+    # averaged trial (run_c_ccecp_dmc_big.py auto-detects it).
+    cfg.optim.ema_decay = 0.999
     cfg.pretrain.iterations = 1000
     cfg.mcmc.tstep = 0.25
     cfg.mcmc.steps = 10
