@@ -83,6 +83,26 @@ def test_gto_envelope_ccpvdz_file_and_nuclear_smoothness():
         assert np.all(np.isfinite(np.asarray(grad)))
 
 
+def test_train_envelope_kwargs_gto_branch():
+    """cfg.network.envelope_type='gto' plumbs charges + gto_basis through
+    train._envelope_kwargs into the zoo builder."""
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu import train as train_lib
+    cfg = config_lib.default()
+    with cfg.unlocked():
+        cfg.system.atoms = np.zeros((2, 3))
+        cfg.system.charges = np.array([6.0, 1.0])
+        cfg.system.spins = np.array([1.0, -1.0])
+        cfg.network.envelope_type = "gto"
+        cfg.network.gto_basis = "even_tempered"
+    kwargs = train_lib._envelope_kwargs(cfg, nelectrons=2)
+    np.testing.assert_array_equal(kwargs["charges"], [6.0, 1.0])
+    assert kwargs["basis"] == "even_tempered"
+    init, apply = zoo.get_envelope(zoo.EnvelopeType.GTO, **kwargs)
+    params = init(natom=2, norb=4)
+    assert params["alpha"].shape[0] == 2
+
+
 def test_gto_envelope_decays():
     init, apply = zoo.make_gto_envelope(charges=[6.0], basis="even_tempered")
     params = init(natom=1, norb=2)
