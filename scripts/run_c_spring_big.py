@@ -26,6 +26,15 @@ from aiqmc_tpu.configs import c_atom_ccecp
 extra_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c_spring_big"
 restore_path = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/runs/c_kfac_big"
+# Optional hyperparameter overrides (probe arms). The 2026-08-17 probe
+# (runs/c_spring_probe, damping 1e-3): 250 healthy plateau-tracking iters —
+# the HIGHEST-precision fix holds on chip — then GRADUAL variance growth
+# 0.02 -> 3 Ha^2 with non-variational drift: at a converged trial the
+# residual is mostly batch noise and the lam=1e-3 sample-space solve fits
+# it; continuation needs heavier damping.
+damping = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-3
+lr_rate = float(sys.argv[5]) if len(sys.argv) > 5 else 0.01
+mu = float(sys.argv[6]) if len(sys.argv) > 6 else 0.99
 
 # cfg.optim.iterations counts ADDITIONAL steps from the restored t
 # (train.py loops range(t_init, t_init + iterations)), so pass "extra"
@@ -55,10 +64,10 @@ with cfg.unlocked():
     cfg.optim.iterations = iterations
     # Continuation of a converged-ish trial: start gentler than cold-start
     # SPRING and keep the trust region tight.
-    cfg.optim.spring.lr.rate = 0.01
+    cfg.optim.spring.lr.rate = lr_rate
     cfg.optim.spring.lr.delay = 10000.0
-    cfg.optim.spring.damping = 1e-3
-    cfg.optim.spring.mu = 0.99
+    cfg.optim.spring.damping = damping
+    cfg.optim.spring.mu = mu
     # Belt-and-braces after the 2026-08-17 divergence (fixed by HIGHEST-
     # precision O-matmuls in optim/spring.py): reject statistical outlier
     # steps instead of letting them compound.
@@ -74,6 +83,8 @@ with cfg.unlocked():
     cfg.debug.deterministic = True
     cfg.debug.seed = 37
 
+print("SPRING arm: damping=%g lr=%g mu=%g batch=%d"
+      % (damping, lr_rate, mu, cfg.batch_size))
 result = train_lib.train(cfg)
 tail = result.energies[-max(1, iterations // 5):]
 finite = tail[np.isfinite(tail) & (tail != 0.0)]
