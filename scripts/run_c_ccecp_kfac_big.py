@@ -23,6 +23,13 @@ from aiqmc_tpu.configs import c_atom_ccecp
 
 iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c_kfac_big"
+# Optional lr-schedule overrides. Motivation (BASELINE.md round-2 tail): the
+# 67k-iteration plateau moved only 1.7 mHa in 55k iterations at delay=3000 —
+# an lr-starvation test is a cheap continuation with delay=10000 (the
+# upstream-FermiNet schedule: 3x the lr at t=67k). If the energy breaks below
+# the plateau within a few-k iterations, the round-2 gap was schedule-level.
+lr_rate = float(sys.argv[3]) if len(sys.argv) > 3 else 0.05
+lr_delay = float(sys.argv[4]) if len(sys.argv) > 4 else 3000.0
 
 cfg = c_atom_ccecp.get_config()
 with cfg.unlocked():
@@ -39,8 +46,8 @@ with cfg.unlocked():
     # measured estimator-identical (BASELINE.md) at 1/4 the memory and cost.
     cfg.system.pp.quadrature = "icosahedral12"
     cfg.optim.iterations = iterations
-    cfg.optim.kfac.lr.rate = 0.05
-    cfg.optim.kfac.lr.delay = 3000.0
+    cfg.optim.kfac.lr.rate = lr_rate
+    cfg.optim.kfac.lr.delay = lr_delay
     # Polyak average over ~1k recent iterates: the DMC stage evaluates the
     # averaged trial (run_c_ccecp_dmc_big.py auto-detects it).
     cfg.optim.ema_decay = 0.999
