@@ -69,6 +69,11 @@ def default() -> ml_collections.ConfigDict:
                 "jump_sigmas": 20.0, # reject if |E - EW E| > k * sem
                 "warmup": 300,       # accepted steps before the guard engages
                 "decay": 0.98,       # EW decay for the running statistics
+                "var_ceiling": 0.0,  # >0: reject if batch var exceeds this
+                                     # ABSOLUTE Ha^2 ceiling (gradual creep
+                                     # evades the relative tests — set to
+                                     # ~10x the plateau variance when
+                                     # continuing a converged trial)
             },
             "clip_local_energy": 5.0,
             "clip_from_median": True,

@@ -56,7 +56,7 @@ def init_state() -> GuardState:
 
 def make_guarded_step(combined_step, *, var_factor: float = 8.0,
                       jump_sigmas: float = 20.0, warmup: int = 300,
-                      decay: float = 0.98):
+                      decay: float = 0.98, var_ceiling: float = 0.0):
     """Wraps a ``combined_step(params, opt_state, data, key, width)`` whose
     opt_state is augmented to ``(inner_opt_state, GuardState)``.
 
@@ -87,7 +87,13 @@ def make_guarded_step(combined_step, *, var_factor: float = 8.0,
         var_bad = var_real > var_factor * jnp.maximum(g.ew_var, 1e-12)
         jump_bad = jnp.abs(loss_real - g.ew_energy) > jump_sigmas * sem
         finite = jnp.isfinite(loss_real) & jnp.isfinite(var_real)
-        reject = warmed & (var_bad | jump_bad | ~finite)
+        # Absolute variance ceiling (opt-in): the relative tests track their
+        # own EW window, so GRADUAL corruption drags the window along and is
+        # never rejected (measured: runs/c_spring_probe crept 0.02 -> 3 Ha^2
+        # with only 8/700 rejections). A fixed ceiling — e.g. 10x the known
+        # plateau variance for a continuation run — cannot be dragged.
+        ceil_bad = (var_real > var_ceiling) if var_ceiling > 0.0 else False
+        reject = warmed & (var_bad | jump_bad | ceil_bad | ~finite)
 
         out_params = jax.lax.cond(reject, lambda: params, lambda: new_params)
         out_inner = jax.lax.cond(reject, lambda: inner_state,

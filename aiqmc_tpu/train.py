@@ -409,7 +409,8 @@ def make_training_components(cfg, network, batch_size: int,
             var_factor=guard_cfg.get("var_factor", 8.0),
             jump_sigmas=guard_cfg.get("jump_sigmas", 20.0),
             warmup=guard_cfg.get("warmup", 300),
-            decay=guard_cfg.get("decay", 0.98))
+            decay=guard_cfg.get("decay", 0.98),
+            var_ceiling=guard_cfg.get("var_ceiling", 0.0))
         components = _TrainingComponents(
             components.mc_step, components.evaluate_loss,
             wrap_init(components.init), guarded)

@@ -70,8 +70,13 @@ with cfg.unlocked():
     cfg.optim.spring.mu = mu
     # Belt-and-braces after the 2026-08-17 divergence (fixed by HIGHEST-
     # precision O-matmuls in optim/spring.py): reject statistical outlier
-    # steps instead of letting them compound.
+    # steps instead of letting them compound. The probe-1 creep (variance
+    # 0.02 -> 3 Ha^2, gradual) evades the relative tests, so also set an
+    # absolute ceiling at ~10x the known KFAC plateau variance (0.023) and
+    # engage early (this is a continuation, not a cold start).
     cfg.optim.guard.enable = True
+    cfg.optim.guard.var_ceiling = 0.25
+    cfg.optim.guard.warmup = 50
     cfg.pretrain.iterations = 0          # restoring, not cold-starting
     cfg.mcmc.tstep = 0.25
     cfg.mcmc.steps = 10

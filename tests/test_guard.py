@@ -30,11 +30,12 @@ def _make_stub(batch=64):
     return combined_step, data
 
 
-def _run(steps, var_factor=8.0, jump_sigmas=20.0, warmup=5, decay=0.9):
+def _run(steps, var_factor=8.0, jump_sigmas=20.0, warmup=5, decay=0.9,
+         var_ceiling=0.0):
     combined_step, data = _make_stub()
     wrap_init, guarded = guard_lib.make_guarded_step(
         combined_step, var_factor=var_factor, jump_sigmas=jump_sigmas,
-        warmup=warmup, decay=decay)
+        warmup=warmup, decay=decay, var_ceiling=var_ceiling)
     init = wrap_init(lambda params: jnp.zeros((), jnp.int32))
     params = {"w": jnp.zeros(())}
     state = init(params)
@@ -91,6 +92,24 @@ class TestGuard:
                  for _ in range(60)]
         params, state, history = _run(steps)
         assert history[-1][1] == 0
+
+    def test_gradual_creep_evades_relative_tests_but_not_ceiling(self):
+        """The runs/c_spring_probe failure mode: variance growing ~10% per
+        step drags the EW window along, so the relative var_factor test never
+        fires — an absolute ceiling freezes the run at the ceiling."""
+        creep = [(-2.0, 1.0)] * 20 + [(-2.0, 1.0 * 1.1 ** i)
+                                      for i in range(1, 60)]
+        # Relative tests alone: creep reaches 280x the plateau variance
+        # with zero rejections (the documented blind spot).
+        _, _, hist = _run(creep)
+        assert hist[-1][1] == 0
+        # Ceiling at 10x the plateau: every step beyond it is rejected and
+        # the params freeze.
+        _, state, hist = _run(creep, var_ceiling=10.0)
+        assert hist[-1][1] > 0
+        n_over = sum(1 for _, v in creep if v > 10.0)
+        assert hist[-1][1] == n_over
+        assert float(state[1].ew_var) < 11.0
 
     def test_nonfinite_rejected_after_warmup(self):
         steps = [(-2.0, 1.0)] * 20 + [(float("nan"), 1.0)]
