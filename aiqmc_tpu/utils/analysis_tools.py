@@ -89,6 +89,38 @@ def robust_estimate_energy(path: str, burn_fraction: float = 0.2,
     }
 
 
+def tabc_average(runs, burn_fraction: float = 0.2,
+                 nmad: float = 5.0) -> Dict[str, float]:
+    """Twist-averaged boundary-condition energy over twist-trained runs.
+
+    TABC (ref capability ceiling: ferminet/pbc twist handling; Lin, Zong &
+    Ceperley 2001): E_TABC = sum_k w_k E_k / sum_k w_k over the inequivalent
+    twists of a Monkhorst-Pack grid, with w_k the symmetry multiplicities
+    (e.g. the fcc 2x2x2 grid has two classes, weights 2:6). Each run's energy
+    comes from `robust_estimate_energy`; errors combine in quadrature with
+    the same weights.
+
+    Args:
+      runs: iterable of (weight, train_states_csv_path).
+    """
+    wsum = 0.0
+    esum = 0.0
+    var = 0.0
+    per_twist = []
+    for weight, path in runs:
+        est = robust_estimate_energy(path, burn_fraction=burn_fraction,
+                                     nmad=nmad)
+        wsum += weight
+        esum += weight * est["energy"]
+        var += (weight * est["stderr"]) ** 2
+        per_twist.append({"weight": weight, **est})
+    return {
+        "energy": esum / wsum,
+        "stderr": float(np.sqrt(var) / wsum),
+        "per_twist": per_twist,
+    }
+
+
 def robust_block_stats(blocks: np.ndarray, nmad: float = 5.0
                        ) -> Dict[str, float]:
     """Robust mean/stderr over DMC block energies (MAD-trimmed)."""

@@ -70,3 +70,26 @@ def test_wqmc_objective_driver(tmp_path):
     cfg.log.save_frequency = 1e9
     r = train.train(cfg)
     assert np.isfinite(r.energies).all()
+
+
+def test_tabc_average(tmp_path):
+    """Weighted twist combination: exact mean and quadrature error."""
+    rng = np.random.RandomState(2)
+    paths = []
+    means = [-9.7, -9.1]
+    for i, mu in enumerate(means):
+        p = tmp_path / f"twist{i}.csv"
+        with open(p, "w") as f:
+            f.write("step,energy,variance,pmove\n")
+            for t in range(400):
+                f.write(f"{t},{mu + 0.02 * rng.normal():.6f},0.1,0.5\n")
+        paths.append(str(p))
+    out = analysis_tools.tabc_average([(2.0, paths[0]), (6.0, paths[1])])
+    # Weighted mean of the per-twist robust estimates, weights 2:6.
+    expect = (2.0 * out["per_twist"][0]["energy"]
+              + 6.0 * out["per_twist"][1]["energy"]) / 8.0
+    assert abs(out["energy"] - expect) < 1e-12
+    assert abs(out["energy"] - (2 * -9.7 + 6 * -9.1) / 8) < 0.01
+    q = np.sqrt((2 * out["per_twist"][0]["stderr"]) ** 2
+                + (6 * out["per_twist"][1]["stderr"]) ** 2) / 8.0
+    assert abs(out["stderr"] - q) < 1e-15
