@@ -30,6 +30,10 @@ save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c_kfac_big"
 # the plateau within a few-k iterations, the round-2 gap was schedule-level.
 lr_rate = float(sys.argv[3]) if len(sys.argv) > 3 else 0.05
 lr_delay = float(sys.argv[4]) if len(sys.argv) > 4 else 3000.0
+# Optional restore dir: lets an experiment arm branch off the main campaign
+# checkpoints into its own save_path (restore scans save_path FIRST, so an
+# arm dir that already has checkpoints continues itself).
+restore_path = sys.argv[5] if len(sys.argv) > 5 else ""
 
 cfg = c_atom_ccecp.get_config()
 with cfg.unlocked():
@@ -56,6 +60,8 @@ with cfg.unlocked():
     cfg.mcmc.steps = 10
     cfg.mcmc.burn_in = 200
     cfg.log.save_path = save_path
+    if restore_path:
+        cfg.log.restore_path = restore_path
     cfg.log.save_frequency = 10.0
     cfg.debug.deterministic = True
     cfg.debug.seed = 29
