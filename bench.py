@@ -141,7 +141,35 @@ def cpu_baseline():
         return None
 
 
+def _tpu_reachable(timeout_s: int = 300) -> bool:
+    """Bounded health probe in a subprocess: a dead axon tunnel makes
+    jax.devices() HANG (observed 2026-08-17, ~2h outage mid-queue), which
+    would hang the whole bench; probe first and fail fast instead."""
+    code = ("import jax, jax.numpy as jnp\n"
+            "jax.devices()\n"
+            "jnp.ones(4).sum().block_until_ready()\n"
+            "print('ok')\n")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s, env=dict(os.environ))
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _tpu_reachable():
+        # Honest failure: no throughput was achieved; the error field says why.
+        print(json.dumps({
+            "metric": "walker_steps_per_sec_per_chip",
+            "value": 0,
+            "unit": "walker-steps/s/chip",
+            "vs_baseline": 0,
+            "error": "TPU backend unreachable (axon tunnel down); "
+                     "last good on-chip: see BASELINE.md",
+        }))
+        return
     value, loss = measure(BATCH, WARMUP_ITERS, TIMED_ITERS)
     cpu = cpu_baseline()
     if cpu:
