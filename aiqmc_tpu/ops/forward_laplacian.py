@@ -251,10 +251,22 @@ def _minmax_rule(ndirs, eqn, a, b):
     bv = b.x if _is_fl(b) else b
     out = _bind(eqn, av, bv)
     pick_a = (out == av)
-    ja = a.jac if _is_fl(a) else _zeros_jac(ndirs, av)
-    jb = b.jac if _is_fl(b) else _zeros_jac(ndirs, bv)
-    la = a.lap if _is_fl(a) else jnp.zeros_like(out)
-    lb = b.lap if _is_fl(b) else jnp.zeros_like(out)
+
+    # Operands may broadcast (e.g. a rank-0 clamp constant): pad the operand
+    # rank on the left, then expand jac/lap to the output shape.
+    def expand_jac(j):
+        pad = (1,) * (out.ndim - (j.ndim - 1))
+        j = j.reshape((ndirs,) + pad + j.shape[1:])
+        return jnp.broadcast_to(j, (ndirs,) + out.shape)
+
+    def expand_lap(l):
+        pad = (1,) * (out.ndim - l.ndim)
+        return jnp.broadcast_to(l.reshape(pad + l.shape), out.shape)
+
+    ja = expand_jac(a.jac) if _is_fl(a) else _zeros_jac(ndirs, out)
+    jb = expand_jac(b.jac) if _is_fl(b) else _zeros_jac(ndirs, out)
+    la = expand_lap(a.lap) if _is_fl(a) else jnp.zeros_like(out)
+    lb = expand_lap(b.lap) if _is_fl(b) else jnp.zeros_like(out)
     jac = jnp.where(pick_a[None], ja, jb)
     lap = jnp.where(pick_a, la, lb)
     return FwdLap(out, jac, lap)
@@ -268,7 +280,10 @@ def _select_rule(ndirs, eqn, pred, *cases):
     if not any(_is_fl(c) for c in cases):
         return out
     lifted = [_lift(ndirs, c) for c in cases]
-    jac = _bind(eqn, jnp.broadcast_to(predv[None], (ndirs,) + predv.shape),
+    # select_n requires `which` scalar or case-shaped; the jac cases gain a
+    # leading ndirs axis, so expand a (possibly scalar) pred to match them.
+    pred_full = jnp.broadcast_to(predv, out.shape)
+    jac = _bind(eqn, jnp.broadcast_to(pred_full[None], (ndirs,) + out.shape),
                 *[jnp.broadcast_to(c.jac, (ndirs,) + out.shape)
                   for c in lifted])
     lap = _bind(eqn, predv, *[jnp.broadcast_to(c.lap, out.shape)
@@ -319,6 +334,14 @@ def _dot_rule(ndirs, eqn, a, b):
 @_rule("stop_gradient")
 def _stop_grad_rule(ndirs, eqn, a):
     return a.x if _is_fl(a) else a
+
+
+@_rule("gt", "lt", "ge", "le", "eq", "ne", "sign", "round", "floor", "ceil",
+       "is_finite")
+def _nondiff_rule(ndirs, eqn, *ins):
+    """Comparisons and piecewise-constant ops: derivative is zero a.e., so the
+    result is a plain (non-FwdLap) array."""
+    return _bind(eqn, *[i.x if _is_fl(i) else i for i in ins])
 
 
 _CALL_PRIMS = ("pjit", "jit", "closed_call", "custom_jvp_call",

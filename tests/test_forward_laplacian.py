@@ -104,3 +104,55 @@ def test_driver_forward_laplacian_option(tmp_path):
     cfg.log.save_frequency = 1e9
     r = train.train(cfg)
     assert np.isfinite(r.energies).all()
+
+
+def test_scalar_broadcast_operands():
+    """Rank-0 operands in max/min and scalar-pred select_n (regression: the
+    psiformer graph clamps with scalar constants; jnp.where with scalar pred
+    appears in jax.nn internals)."""
+
+    def f(x):
+        y = jnp.maximum(jnp.sum(x ** 2), 0.5)        # scalar FwdLap vs const
+        z = jnp.minimum(x, 0.7)                       # array vs rank-0 const
+        w = jnp.where(y > 1.0, z * y, z - y)          # scalar pred select
+        return w * jax.nn.softmax(x)
+
+    x = jnp.asarray([0.4, -0.2, 0.9])
+    out = fl.forward_laplacian(f)(x)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(f(x)), rtol=1e-6)
+    jac_want = jax.jacfwd(f)(x).T
+    np.testing.assert_allclose(np.asarray(out.jac), np.asarray(jac_want),
+                               rtol=1e-5, atol=1e-7)
+    hess = jax.hessian(f)(x)
+    lap_want = jnp.trace(hess, axis1=1, axis2=2)
+    np.testing.assert_allclose(np.asarray(out.lap), np.asarray(lap_want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_psiformer_forward_kinetic_matches_batched_tangent():
+    """Forward-Laplacian kinetic on the PsiFormer ansatz (attention + layer
+    norm + softmax graph) agrees with the batched-tangent kinetic."""
+    from aiqmc_tpu.models import psiformer
+
+    nel = 4
+    spins = np.array([1.0, 1.0, 1.0, -1.0])
+    atoms = jnp.zeros((1, 3))
+    charges = jnp.asarray([4.0])
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nel)
+    up, down = spin_indices.spin_indices_h(spins)
+    net = psiformer.make_psiformer(
+        nspins=(3, 1), charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=1,
+        nelectrons=nel, determinants=2, num_layers=2, num_heads=2,
+        heads_dim=4, mlp_hidden_dims=(8,))
+    params = net.init(jax.random.PRNGKey(3))
+    ke_ref = kinetic.local_kinetic_energy(net.apply, complex_output=False)
+    ke_fwd = fl.make_forward_kinetic(net.orbitals)
+    for seed in range(3):
+        pos = jax.random.normal(jax.random.PRNGKey(seed), (nel * 3,))
+        data = AINetData(positions=pos, spins=jnp.asarray(spins), atoms=atoms,
+                         charges=charges)
+        want = float(ke_ref(params, data))
+        got = float(ke_fwd(params, data))
+        np.testing.assert_allclose(got, want, rtol=2e-3)

@@ -121,3 +121,33 @@ def test_reference_keyword_api(tmp_path):
            "network.hidden_dims_ynlm": (4, 4),
            "debug.deterministic": True})
     assert np.all(np.isfinite(result.energies))
+
+
+def test_psiformer_ecp_kfac_forward_laplacian(tmp_path):
+    """Arm-D path: PsiFormer ansatz + ccECP + native KFAC + forward Laplacian
+    end to end (scripts/run_c_ccecp_psiformer.py uses exactly this wiring)."""
+    from aiqmc_tpu.configs import c_atom_ccecp
+
+    cfg = c_atom_ccecp.get_config()
+    with cfg.unlocked():
+        cfg.system.spins = np.array([1.0, 1.0, 1.0, -1.0])
+        cfg.batch_size = 16
+        cfg.network.network_type = "psiformer"
+        cfg.network.psiformer.num_layers = 1
+        cfg.network.psiformer.num_heads = 2
+        cfg.network.psiformer.heads_dim = 4
+        cfg.network.psiformer.mlp_hidden_dims = (8,)
+        cfg.network.determinants = 2
+        cfg.optim.optimizer = "kfac"
+        cfg.optim.laplacian = "forward"
+        cfg.optim.iterations = 2
+        cfg.optim.ema_decay = 0.99
+        cfg.system.pp.quadrature = "icosahedral12"
+        cfg.pretrain.iterations = 2
+        cfg.mcmc.steps = 1
+        cfg.mcmc.burn_in = 1
+        cfg.debug.deterministic = True
+        cfg.log.save_path = str(tmp_path)
+        cfg.log.save_frequency = 1e9
+    result = train.train(cfg)
+    assert np.all(np.isfinite(result.energies))
