@@ -58,7 +58,8 @@ def main(atoms,
          use_tmoves: bool = True,
          fused_step: bool = False,
          use_ema: bool = False,
-         seed: int = 1):
+         seed: int = 1,
+         network=None):
     """Runs DMC; returns (per-block energies, final data, final weights)."""
     del structure
     logging.info("Diffusion Quantum Monte Carlo start")
@@ -77,15 +78,19 @@ def main(atoms,
                                                                nelectrons)
     up, down = spin_indices.spin_indices_h(spins_arr)
     network_kwargs = dict(network_kwargs or {})
-    # Match the VMC trainer's default (train._build_network): the Pade a-e
-    # cusp Jastrow is auto-disabled for pseudopotential systems (smooth psi at
-    # ECP cores), and the restored param tree must agree.
-    network_kwargs.setdefault("jastrow_ae", Rn_local is None)
-    network = nn.make_ai_net(
-        ndim=ndim, nelectrons=nelectrons, natoms=natoms, nspins=tuple(nspins),
-        charges=jnp.asarray(charges), parallel_indices=par,
-        antiparallel_indices=anti, n_parallel=n_par, n_antiparallel=n_anti,
-        spin_up_indices=up, spin_down_indices=down, **network_kwargs)
+    if network is None:
+        # Match the VMC trainer's default (train._build_network): the Pade a-e
+        # cusp Jastrow is auto-disabled for pseudopotential systems (smooth psi
+        # at ECP cores), and the restored param tree must agree.
+        network_kwargs.setdefault("jastrow_ae", Rn_local is None)
+        network = nn.make_ai_net(
+            ndim=ndim, nelectrons=nelectrons, natoms=natoms,
+            nspins=tuple(nspins), charges=jnp.asarray(charges),
+            parallel_indices=par, antiparallel_indices=anti,
+            n_parallel=n_par, n_antiparallel=n_anti,
+            spin_up_indices=up, spin_down_indices=down, **network_kwargs)
+    # else: a prebuilt Network (e.g. models.psiformer.make_psiformer) whose
+    # param tree matches the VMC checkpoint being restored.
     signed_network = network.apply
 
     key, subkey = jax.random.split(key)

@@ -236,3 +236,55 @@ def test_fused_propagate_matches_split():
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(d1.positions),
                                np.asarray(d2.positions), atol=2e-5)
+
+
+def test_dmc_from_psiformer_trial(tmp_path):
+    """DMC restores a PsiFormer VMC checkpoint via driver.main(network=...)
+    (arm-D follow-up path, scripts/run_c_ccecp_dmc_psiformer.py)."""
+    from aiqmc_tpu.configs import c_atom_ccecp
+    from aiqmc_tpu import train
+    from aiqmc_tpu.dmc import driver
+    from aiqmc_tpu.models import psiformer, spin_indices
+
+    cfg = c_atom_ccecp.get_config()
+    with cfg.unlocked():
+        cfg.system.spins = np.array([1.0, 1.0, 1.0, -1.0])
+        cfg.batch_size = 16
+        cfg.network.network_type = "psiformer"
+        cfg.network.psiformer.num_layers = 1
+        cfg.network.psiformer.num_heads = 2
+        cfg.network.psiformer.heads_dim = 4
+        cfg.network.psiformer.mlp_hidden_dims = (8,)
+        cfg.network.determinants = 2
+        cfg.optim.iterations = 1
+        cfg.pretrain.iterations = 0
+        cfg.mcmc.steps = 1
+        cfg.mcmc.burn_in = 1
+        cfg.debug.deterministic = True
+        cfg.log.save_path = str(tmp_path)
+        cfg.log.save_frequency = 1e9
+    train.train(cfg)
+
+    spins = np.array([1.0, 1.0, 1.0, -1.0])
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, 4)
+    up, down = spin_indices.spin_indices_h(spins)
+    network = psiformer.make_psiformer(
+        nspins=(3, 1), charges=jnp.array([4.0]), parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=1,
+        nelectrons=4, determinants=2, num_layers=1, num_heads=2, heads_dim=4,
+        mlp_hidden_dims=(8,))
+    from aiqmc_tpu.configs import c_atom_ccecp as c
+    energies, data, weights = driver.main(
+        network=network,
+        atoms=np.zeros((1, 3)), charges=np.array([4.0]), spins=spins,
+        tstep=0.02, nelectrons=4, nsteps=1, natoms=1, ndim=3, batch_size=16,
+        iterations=2, nblocks=2, feedback=1.0, nspins=(3, 1),
+        save_path=str(tmp_path), restore_path=None, save_frequency=1e9,
+        Rn_local=c.RN_LOCAL, Local_coes=c.LOCAL_COES, Local_exps=c.LOCAL_EXPS,
+        Rn_non_local=c.RN_NON_LOCAL, Non_local_coes=c.NON_LOCAL_COES,
+        Non_local_exps=c.NON_LOCAL_EXPS, list_l=2, use_tmoves=True,
+        quadrature="icosahedral12")
+    assert energies.shape == (2,)
+    assert np.all(np.isfinite(energies))
+    assert np.all(np.isfinite(np.asarray(weights)))
