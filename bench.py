@@ -141,34 +141,65 @@ def cpu_baseline():
         return None
 
 
-def _tpu_reachable(timeout_s: int = 300) -> bool:
+def _tpu_reachable(timeout_s: int = 240, attempts: int = 3,
+                   retry_sleep_s: int = 90) -> bool:
     """Bounded health probe in a subprocess: a dead axon tunnel makes
-    jax.devices() HANG (observed 2026-08-17, ~2h outage mid-queue), which
-    would hang the whole bench; probe first and fail fast instead."""
+    jax.devices() HANG (observed 2026-08-17, multi-hour outage mid-queue),
+    which would hang the whole bench; probe first and fail fast instead.
+
+    Retries a few times (bounded ~15 min total) so a transient tunnel blip
+    at bench time doesn't zero the round's number."""
     code = ("import jax, jax.numpy as jnp\n"
             "jax.devices()\n"
             "jnp.ones(4).sum().block_until_ready()\n"
             "print('ok')\n")
-    try:
-        out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True,
-                             timeout=timeout_s, env=dict(os.environ))
-        return out.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 capture_output=True, text=True,
+                                 timeout=timeout_s, env=dict(os.environ))
+            if out.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(retry_sleep_s)
+    return False
+
+
+def _last_good_bench():
+    """Most recent recorded on-chip number (BENCH_r*.json), for the honest-
+    failure JSON: distinguishes 'framework got slower' from 'tunnel down'."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            rec = rec.get("parsed", rec)  # driver wraps the JSON line
+            if rec.get("value"):
+                best = {"value": rec["value"], "from": os.path.basename(path)}
+        except Exception:
+            continue
+    return best
 
 
 def main():
     if not _tpu_reachable():
         # Honest failure: no throughput was achieved; the error field says why.
-        print(json.dumps({
+        rec = {
             "metric": "walker_steps_per_sec_per_chip",
             "value": 0,
             "unit": "walker-steps/s/chip",
             "vs_baseline": 0,
             "error": "TPU backend unreachable (axon tunnel down); "
                      "last good on-chip: see BASELINE.md",
-        }))
+        }
+        last = _last_good_bench()
+        if last:
+            rec["last_good"] = last
+        print(json.dumps(rec))
         return
     value, loss = measure(BATCH, WARMUP_ITERS, TIMED_ITERS)
     cpu = cpu_baseline()
