@@ -123,6 +123,34 @@ def test_reference_keyword_api(tmp_path):
     assert np.all(np.isfinite(result.energies))
 
 
+def test_fstream_ecp_kfac_forward_laplacian(tmp_path):
+    """Arm-C path: upstream-FermiNet h-stream + ccECP + native KFAC + forward
+    Laplacian end to end (scripts/run_c_ccecp_kfac_fstream.py wiring)."""
+    from aiqmc_tpu.configs import c_atom_ccecp
+
+    cfg = c_atom_ccecp.get_config()
+    with cfg.unlocked():
+        cfg.system.spins = np.array([1.0, 1.0, 1.0, -1.0])
+        cfg.batch_size = 16
+        cfg.network.hidden_dims = ((8, 4), (8, 4))
+        cfg.network.hidden_dims_ynlm = (4, 4)
+        cfg.network.determinants = 2
+        cfg.network.h_stream = "ferminet"
+        cfg.optim.optimizer = "kfac"
+        cfg.optim.laplacian = "forward"
+        cfg.optim.iterations = 2
+        cfg.optim.ema_decay = 0.99
+        cfg.system.pp.quadrature = "icosahedral12"
+        cfg.pretrain.iterations = 2
+        cfg.mcmc.steps = 1
+        cfg.mcmc.burn_in = 1
+        cfg.debug.deterministic = True
+        cfg.log.save_path = str(tmp_path)
+        cfg.log.save_frequency = 1e9
+    result = train.train(cfg)
+    assert np.all(np.isfinite(result.energies))
+
+
 def test_psiformer_ecp_kfac_forward_laplacian(tmp_path):
     """Arm-D path: PsiFormer ansatz + ccECP + native KFAC + forward Laplacian
     end to end (scripts/run_c_ccecp_psiformer.py uses exactly this wiring)."""
