@@ -98,15 +98,21 @@ def _linear_rule(ndirs, eqn, *ins):
     jacs = [ins[k].jac for k in fl_idx]
 
     # For multi-operand linear combinations a constant operand's tangent is
-    # zero, not the constant itself.
+    # zero, not the constant itself. Only float (inexact) operands carry
+    # tangents: integer/bool operands (gather/scatter/dynamic-slice indices,
+    # select predicates) must pass through unchanged or the tangent is
+    # scattered to the wrong positions.
     def jac_one(*tangs):
         vals = []
         ti = iter(tangs)
         for i in ins:
             if _is_fl(i):
                 vals.append(next(ti))
+            elif (_affine_needs_zero(eqn)
+                  and jnp.issubdtype(jnp.result_type(i), jnp.inexact)):
+                vals.append(jnp.zeros_like(i))
             else:
-                vals.append(jnp.zeros_like(i) if _affine_needs_zero(eqn) else i)
+                vals.append(i)
         res = _bind(eqn, *vals)
         return tuple(res) if multi else res
 
@@ -119,11 +125,13 @@ def _linear_rule(ndirs, eqn, *ins):
 
 
 def _affine_needs_zero(eqn) -> bool:
-    """True for primitives where constants must be zeroed in tangent space
-    (multi-operand linear combinations: add/sub/concatenate/select outputs add
-    contributions, so a constant operand's tangent is zero, not the constant)."""
+    """True for primitives where constant float operands must be zeroed in
+    tangent space (multi-operand linear combinations: add/sub/concatenate/
+    pad/scatter outputs combine contributions, so a constant data operand's
+    tangent is zero, not the constant)."""
     return eqn.primitive.name in ("add", "sub", "add_any", "concatenate",
-                                  "pad", "dynamic_update_slice")
+                                  "pad", "dynamic_update_slice", "scatter",
+                                  "scatter-add")
 
 
 for _name in ("broadcast_in_dim", "reshape", "transpose", "squeeze",
@@ -131,7 +139,7 @@ for _name in ("broadcast_in_dim", "reshape", "transpose", "squeeze",
               "expand_dims", "copy", "concatenate", "pad", "gather",
               "dynamic_slice", "add", "sub", "add_any", "neg", "real",
               "dynamic_update_slice", "split", "tile", "scatter",
-              "scatter_add"):
+              "scatter-add"):
     _RULES[_name] = _linear_rule
 
 
@@ -217,6 +225,41 @@ _RULES["square"] = _elementwise(lambda x, u: 2.0 * x,
                                 lambda x, u: jnp.full_like(x, 2.0))
 _RULES["cbrt"] = _elementwise(lambda x, u: 1.0 / (3.0 * u * u),
                               lambda x, u: -2.0 / (9.0 * u ** 5))
+_RULES["sinh"] = _elementwise(lambda x, u: jnp.cosh(x), lambda x, u: u)
+_RULES["cosh"] = _elementwise(lambda x, u: jnp.sinh(x), lambda x, u: u)
+_RULES["expm1"] = _elementwise(lambda x, u: u + 1.0, lambda x, u: u + 1.0)
+_RULES["atan"] = _elementwise(lambda x, u: 1.0 / (1.0 + x * x),
+                              lambda x, u: -2.0 * x / (1.0 + x * x) ** 2)
+_RULES["asin"] = _elementwise(lambda x, u: jax.lax.rsqrt(1.0 - x * x),
+                              lambda x, u: x * (1.0 - x * x) ** -1.5)
+_RULES["acos"] = _elementwise(lambda x, u: -jax.lax.rsqrt(1.0 - x * x),
+                              lambda x, u: -x * (1.0 - x * x) ** -1.5)
+_RULES["asinh"] = _elementwise(lambda x, u: jax.lax.rsqrt(1.0 + x * x),
+                               lambda x, u: -x * (1.0 + x * x) ** -1.5)
+
+
+@_rule("clamp")
+def _clamp_rule(ndirs, eqn, lo, x, hi):
+    """clamp(lo, x, hi): piecewise selection; derivative follows the active
+    operand (a.e., like max/min)."""
+    lov = lo.x if _is_fl(lo) else lo
+    xv = x.x if _is_fl(x) else x
+    hiv = hi.x if _is_fl(hi) else hi
+    out = _bind(eqn, lov, xv, hiv)
+    lifted = [_lift(ndirs, v) for v in (lo, x, hi)]
+    full = lambda a: jnp.broadcast_to(a, out.shape)
+    jfull = lambda j: jnp.broadcast_to(
+        j.reshape((ndirs,) + (1,) * (out.ndim - (j.ndim - 1)) + j.shape[1:]),
+        (ndirs,) + out.shape)
+    low, mid = full(xv < lov), full((xv >= lov) & (xv <= hiv))
+    jlo, jx, jhi = (jfull(v.jac) for v in lifted)
+    llo, lx, lhi = (full(v.lap) for v in lifted)
+    jac = jnp.where(low[None], jlo, jnp.where(mid[None], jx, jhi))
+    lap = jnp.where(low, llo, jnp.where(mid, lx, lhi))
+    return FwdLap(out, jac, lap)
+
+
+_RULES["cumsum"] = _linear_rule
 
 
 @_rule("integer_pow")
@@ -305,6 +348,27 @@ def _reduce_max_rule(ndirs, eqn, a):
     return FwdLap(out, jac, lap)
 
 
+@_rule("reduce_prod")
+def _reduce_prod_rule(ndirs, eqn, a):
+    """prod over axes. Division-form exclusive products: exact wherever no
+    reduced element is zero (zeros get the a.e. subgradient, like abs/sign)."""
+    if not _is_fl(a):
+        return _bind(eqn, a)
+    out = _bind(eqn, a.x)
+    axes = eqn.params["axes"]
+    jax_axes = tuple(ax + 1 for ax in axes)
+    expanded = jnp.expand_dims(out, axes) if axes else out
+    safe = jnp.where(a.x == 0, 1.0, a.x)
+    excl = jnp.where(a.x == 0, 0.0, expanded / safe)  # prod_{k != i} u_k
+    jac = jnp.sum(a.jac * excl[None], axis=jax_axes)
+    # sum_{i != j} out/(u_i u_j) J_di J_dj = out * (s1_d^2 - s2_d)
+    s1 = jnp.sum(a.jac / safe[None], axis=jax_axes)
+    s2 = jnp.sum((a.jac / safe[None]) ** 2, axis=jax_axes)
+    lap = (jnp.sum(a.lap * excl, axis=axes)
+           + jnp.sum(s1 ** 2 - s2, axis=0) * out)
+    return FwdLap(out, jac, lap)
+
+
 @_rule("dot_general")
 def _dot_rule(ndirs, eqn, a, b):
     av = a.x if _is_fl(a) else a
@@ -337,7 +401,8 @@ def _stop_grad_rule(ndirs, eqn, a):
 
 
 @_rule("gt", "lt", "ge", "le", "eq", "ne", "sign", "round", "floor", "ceil",
-       "is_finite")
+       "is_finite", "and", "or", "not", "xor", "reduce_and", "reduce_or",
+       "argmax", "argmin")
 def _nondiff_rule(ndirs, eqn, *ins):
     """Comparisons and piecewise-constant ops: derivative is zero a.e., so the
     result is a plain (non-FwdLap) array."""

@@ -156,3 +156,76 @@ def test_psiformer_forward_kinetic_matches_batched_tangent():
         want = float(ke_ref(params, data))
         got = float(ke_fwd(params, data))
         np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Primitive-battery fuzz: forward_laplacian vs the jacrev/hessian oracle on
+# composite functions covering every rule class (elementwise, linear,
+# multiplicative, gather/scatter, reductions, select, dot_general).
+# ---------------------------------------------------------------------------
+
+def _oracle(f, x):
+    val = f(x)
+    jac = jnp.moveaxis(jax.jacrev(f)(x), -1, 0)
+    lap = jnp.trace(jax.hessian(f)(x), axis1=-2, axis2=-1)
+    return val, jac, lap
+
+
+def _battery():
+    idx = jnp.array([1, 3, 4, 0])
+
+    return {
+        "elementwise_chain": lambda x: jnp.log1p(
+            jnp.exp(jnp.tanh(x) * jnp.sin(x))) / jnp.sqrt(1.1 + x ** 2),
+        "softmax_logsumexp": lambda x: jax.nn.logsumexp(
+            3.0 * x) - jnp.sum(jax.nn.softmax(x) * x),
+        "dot_chain": lambda x: jnp.dot(
+            jnp.outer(x, x), jnp.cos(x)) @ (x / (1.0 + x ** 2)),
+        "where_clip": lambda x: jnp.where(
+            x > 0.1, jnp.exp(-x), jnp.clip(x, -0.5, 0.5) ** 3),
+        "minmax_reduce": lambda x: jnp.max(x ** 2) * jnp.minimum(
+            x, 0.7) + jnp.min(jnp.sin(x)),
+        # constant update at a nonzero offset: integer index operands must
+        # pass through the tangent bind unchanged
+        "dyn_update_slice": lambda x: jnp.sum(jax.lax.dynamic_update_slice(
+            jnp.tanh(x) * 2.0, jnp.array([5.0]), (2,)) ** 2),
+        "scatter_add_const": lambda x: jnp.prod((x * x).at[1].add(3.0)),
+        "scatter_set_fl": lambda x: jnp.sum(jnp.zeros(
+            6, x.dtype).at[idx].set(jnp.sin(x[:4])) ** 2),
+        "scatter_add_fl_on_fl": lambda x: jnp.sum(
+            (jnp.cos(x).sum() * jnp.ones(6, x.dtype)
+             ).at[idx].add(x[:4] ** 3) ** 2),
+        "gather_concat_pad": lambda x: jnp.sum(jnp.concatenate(
+            [x[idx], jnp.pad(x, (1, 1), constant_values=2.0)]) ** 3),
+        "pow_rsqrt_abs": lambda x: jnp.sum(
+            jnp.abs(x) ** 2.5 + jax.lax.rsqrt(2.0 + x ** 2) + x ** 4),
+        "logistic_erf": lambda x: jnp.sum(
+            jax.nn.sigmoid(x) * jax.lax.erf(x)),
+        "split_transpose": lambda x: jnp.sum(jnp.stack(
+            jnp.split(jnp.outer(x, x).T @ x, 2)) ** 2),
+        "comparisons_sign": lambda x: jnp.sum(
+            jnp.sign(x) * x ** 2 * (x > 0.0) + (x <= 0.0) * jnp.cosh(0.0) * x),
+        "hyperbolic_inverse": lambda x: jnp.sum(
+            jnp.sinh(x) * jnp.cosh(x) + jnp.expm1(-x ** 2)
+            + jnp.arctan(x) + jnp.arcsin(x / 2.0) + jnp.arcsinh(x)),
+        "clamp_lax": lambda x: jnp.sum(
+            jax.lax.clamp(-0.5, jnp.tanh(x) * 2.0, 0.9) ** 2),
+        "cumsum_prod": lambda x: jnp.sum(
+            jnp.cumsum(x ** 2) * jnp.prod(1.0 + x ** 2)),
+        "argmax_gate": lambda x: jnp.sum(
+            x ** 3 * (jnp.argmax(x) == jnp.arange(x.shape[0]))),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_battery()))
+def test_primitive_battery_vs_hessian_oracle(name):
+    f = _battery()[name]
+    x = jnp.array([0.3, -0.8, 1.2, 0.5, -0.25, 0.9])
+    v0, j0, l0 = _oracle(f, x)
+    out = fl.forward_laplacian(f)(x)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(v0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.jac), np.asarray(j0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.lap), np.asarray(l0),
+                               rtol=1e-4, atol=1e-5)
