@@ -20,22 +20,32 @@ def local_energy(f,
                  laplacian_chunk: Optional[int] = None,
                  laplacian_method: str = "default",
                  orbitals_fn=None,
-                 pair_output: bool = False):
+                 pair_output: bool = False,
+                 twist_k=None,
+                 ndim: int = 3):
     """Builds e_l(params, key, data) -> (E_L, energy_mat) for molecules.
 
     laplacian_method: 'default' (batched forward-over-reverse tangents) or
     'forward' (one-pass forward Laplacian, ops/forward_laplacian.py; requires
-    orbitals_fn and a real wavefunction; ~2x fewer FLOPs).
+    orbitals_fn and either a real wavefunction or the pair-complex
+    representation; ~2x fewer FLOPs).
     pair_output: with complex_output, E_L is returned as a stacked real pair
     [Re, Im] (TPU-safe; no complex dtype).
+    twist_k: optional Cartesian twist wavevector folded into the forward
+    pair kinetic analytically (pbc/twist.apply_twist wraps ``f`` only).
     """
     del nspins
     if laplacian_method == "forward":
-        if orbitals_fn is None or complex_output:
+        if orbitals_fn is None or (complex_output and not pair_output):
             raise ValueError("forward Laplacian needs orbitals_fn and a real "
-                             "wavefunction")
-        from aiqmc_tpu.ops.forward_laplacian import make_forward_kinetic
-        ke = make_forward_kinetic(orbitals_fn)
+                             "or pair-complex wavefunction")
+        from aiqmc_tpu.ops.forward_laplacian import (make_forward_kinetic,
+                                                     make_forward_kinetic_pair)
+        if complex_output:
+            ke = make_forward_kinetic_pair(orbitals_fn, twist_k=twist_k,
+                                           ndim=ndim)
+        else:
+            ke = make_forward_kinetic(orbitals_fn)
     else:
         ke = local_kinetic_energy(f, use_scan=use_scan,
                                   complex_output=complex_output,

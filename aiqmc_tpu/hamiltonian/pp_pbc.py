@@ -50,6 +50,7 @@ def local_energy(f,
                  laplacian_method: str = "default",
                  orbitals_fn=None,
                  pair_output: bool = False,
+                 twist_k=None,
                  quadrature: str = "icosahedral12"):
     """Builds e_l(params, key, data) for a periodic pseudopotential system.
 
@@ -59,11 +60,16 @@ def local_energy(f,
     del nspins
     lattice = jnp.asarray(lattice)
     if laplacian_method == "forward":
-        if orbitals_fn is None or complex_output:
+        if orbitals_fn is None or (complex_output and not pair_output):
             raise ValueError("forward Laplacian needs orbitals_fn and a real "
-                             "wavefunction")
-        from aiqmc_tpu.ops.forward_laplacian import make_forward_kinetic
-        ke = make_forward_kinetic(orbitals_fn)
+                             "or pair-complex wavefunction")
+        from aiqmc_tpu.ops.forward_laplacian import (make_forward_kinetic,
+                                                     make_forward_kinetic_pair)
+        if complex_output:
+            ke = make_forward_kinetic_pair(orbitals_fn, twist_k=twist_k,
+                                           ndim=ndim)
+        else:
+            ke = make_forward_kinetic(orbitals_fn)
     else:
         ke = local_kinetic_energy(f, complex_output=complex_output,
                                   laplacian_chunk=laplacian_chunk,

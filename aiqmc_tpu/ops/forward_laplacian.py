@@ -538,3 +538,111 @@ def make_forward_kinetic(orbitals_apply):
         return -0.5 * (lap + jnp.sum(grad ** 2))
 
     return kinetic
+
+
+# ---------------------------------------------------------------------------
+# Complex wavefunctions in the TPU-safe (re, im) pair representation
+# (models.network complex_pairs=True; ref nn.py:456): the orbital network is
+# all-real, so the same interpreter propagates both components; only the
+# determinant tail needs complex arithmetic, done here on real pairs.
+# ---------------------------------------------------------------------------
+
+def slogdet_pair_fwdlap(orb_r: FwdLap, orb_i: FwdLap):
+    """FwdLap (re, im) orbital tensors (ndet, ne, ne) -> per-det
+    (cos, sin, logabs, (grad_re, grad_im), (lap_re, lap_im)) of
+    L_k = log det A_k (complex), all real arrays.
+
+    Same determinant identities as ``slogdet_fwdlap`` evaluated in complex
+    pair arithmetic: d L = tr(A^-1 dA), d^2 L = tr(A^-1 d^2 A) - tr((A^-1 dA)^2).
+    """
+    from aiqmc_tpu.ops import slogdet as fast_slogdet
+    Ar, Ai = orb_r.x, orb_i.x
+    Jr, Ji = orb_r.jac, orb_i.jac          # (n, ndet, ne, ne)
+    Lr, Li = orb_r.lap, orb_i.lap          # (ndet, ne, ne)
+    cos, sin, logabs = fast_slogdet.slogdet_pair(Ar, Ai)
+    Br, Bi = fast_slogdet.inv_pair(Ar, Ai)
+    # grad_d L_k = tr(A^-1 J_d)
+    gr = (jnp.einsum("kij,dkji->dk", Br, Jr)
+          - jnp.einsum("kij,dkji->dk", Bi, Ji))
+    gi = (jnp.einsum("kij,dkji->dk", Br, Ji)
+          + jnp.einsum("kij,dkji->dk", Bi, Jr))
+    # M_d = A^-1 J_d
+    Mr = (jnp.einsum("kij,dkjl->dkil", Br, Jr)
+          - jnp.einsum("kij,dkjl->dkil", Bi, Ji))
+    Mi = (jnp.einsum("kij,dkjl->dkil", Br, Ji)
+          + jnp.einsum("kij,dkjl->dkil", Bi, Jr))
+    # sum_d tr(M_d M_d), complex
+    tr2_r = (jnp.einsum("dkil,dkli->k", Mr, Mr)
+             - jnp.einsum("dkil,dkli->k", Mi, Mi))
+    tr2_i = 2.0 * jnp.einsum("dkil,dkli->k", Mr, Mi)
+    lap_r = (jnp.einsum("kij,kji->k", Br, Lr)
+             - jnp.einsum("kij,kji->k", Bi, Li)) - tr2_r
+    lap_i = (jnp.einsum("kij,kji->k", Br, Li)
+             + jnp.einsum("kij,kji->k", Bi, Lr)) - tr2_i
+    return cos, sin, logabs, (gr, gi), (lap_r, lap_i)
+
+
+def logpsi_fwdlap_pair(orb_r: FwdLap, orb_i: FwdLap):
+    """(phase, log|psi|, grad log psi pair, lap log psi pair) for
+    psi = sum_k det A_k with complex determinants carried as (re, im)
+    (uniform weights — ref network_blocks logdet_matmul_pair semantics)."""
+    cos, sin, logabs, (gr, gi), (lap_r, lap_i) = slogdet_pair_fwdlap(
+        orb_r, orb_i)
+    m = jnp.max(logabs)
+    scale = jnp.exp(logabs - m)
+    tr_, ti_ = cos * scale, sin * scale      # exp(L_k - m), complex pair
+    Sr, Si = jnp.sum(tr_), jnp.sum(ti_)
+    s2 = Sr * Sr + Si * Si
+    # complex weights w_k = exp(L_k) / sum_j exp(L_j)
+    wr = (tr_ * Sr + ti_ * Si) / s2
+    wi = (ti_ * Sr - tr_ * Si) / s2
+    log_out = m + 0.5 * jnp.log(s2)
+    phase_out = jnp.arctan2(Si, Sr)
+    # grad log psi = sum_k w_k grad L_k
+    Gr = jnp.einsum("k,dk->d", wr, gr) - jnp.einsum("k,dk->d", wi, gi)
+    Gi = jnp.einsum("k,dk->d", wr, gi) + jnp.einsum("k,dk->d", wi, gr)
+    # lap log psi = sum_k w_k (lap L_k + sum_d (grad_d L_k)^2)
+    #               - sum_d (grad_d log psi)^2, all complex
+    g2r = jnp.sum(gr * gr - gi * gi, axis=0)
+    g2i = 2.0 * jnp.sum(gr * gi, axis=0)
+    tot_r, tot_i = lap_r + g2r, lap_i + g2i
+    L_out_r = jnp.sum(wr * tot_r - wi * tot_i) - jnp.sum(Gr * Gr - Gi * Gi)
+    L_out_i = jnp.sum(wr * tot_i + wi * tot_r) - 2.0 * jnp.sum(Gr * Gi)
+    return phase_out, log_out, (Gr, Gi), (L_out_r, L_out_i)
+
+
+def make_forward_kinetic_pair(orbitals_apply, twist_k=None, ndim: int = 3):
+    """Complex kinetic energy -1/2 (lap log psi + (grad log psi)^2) as a
+    stacked real pair [Re, Im] via one forward-Laplacian pass.
+
+    Handles both complex-pair orbitals (the network returns an (re, im)
+    tuple) and REAL orbitals evaluated at a twist (pbc/twist.real_to_angle:
+    the sign's phase gradient is zero a.e., so Im components vanish before
+    the boost).
+
+    twist_k: optional Cartesian twist wavevector (ndim,). The plane-wave
+    boost exp(i k . sum_i r_i) (pbc/twist.apply_twist wraps ``apply``, NOT
+    ``orbitals``) contributes exactly grad_phase += k per electron and
+    nothing to the phase Laplacian, so it is folded in analytically here.
+    """
+
+    def kinetic(params, data):
+        def orb_fn(x):
+            return orbitals_apply(params, x, data.spins, data.atoms,
+                                  data.charges)[0]
+
+        res = forward_laplacian(orb_fn)(data.positions)
+        if isinstance(res, (list, tuple)):
+            _, _, (Gr, Gi), (Lr, Li) = logpsi_fwdlap_pair(res[0], res[1])
+        else:
+            _, _, Gr, Lr = logpsi_fwdlap(res)
+            Gi = jnp.zeros_like(Gr)
+            Li = jnp.zeros_like(Lr)
+        if twist_k is not None:
+            k = jnp.asarray(twist_k, dtype=Gr.dtype)
+            Gi = Gi + jnp.tile(k, Gr.shape[0] // ndim)
+        re = -0.5 * (Lr + jnp.sum(Gr * Gr) - jnp.sum(Gi * Gi))
+        im = -0.5 * (Li + 2.0 * jnp.sum(Gr * Gi))
+        return jnp.stack([re, im])
+
+    return kinetic

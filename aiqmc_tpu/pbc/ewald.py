@@ -130,7 +130,11 @@ def local_energy(f,
                  heg: bool = False,
                  convergence_radius: int = 5,
                  laplacian_chunk: Optional[int] = None,
-                 pair_output: bool = False):
+                 pair_output: bool = False,
+                 laplacian_method: str = "default",
+                 orbitals_fn=None,
+                 twist_k=None,
+                 ndim: int = 3):
     """Periodic local energy (ref ferminet/pbc/hamiltonian.py:153-214)."""
     from aiqmc_tpu.hamiltonian.kinetic import local_kinetic_energy
     from aiqmc_tpu.models.features import construct_input_features
@@ -138,10 +142,22 @@ def local_energy(f,
     del nspins
     if lattice is None:
         lattice = jnp.eye(3)
-    ke = local_kinetic_energy(f, use_scan=use_scan,
-                              complex_output=complex_output,
-                              laplacian_chunk=laplacian_chunk,
-                              pair_output=pair_output)
+    if laplacian_method == "forward":
+        if orbitals_fn is None or (complex_output and not pair_output):
+            raise ValueError("forward Laplacian needs orbitals_fn and a real "
+                             "or pair-complex wavefunction")
+        from aiqmc_tpu.ops.forward_laplacian import (make_forward_kinetic,
+                                                     make_forward_kinetic_pair)
+        if complex_output:
+            ke = make_forward_kinetic_pair(orbitals_fn, twist_k=twist_k,
+                                           ndim=ndim)
+        else:
+            ke = make_forward_kinetic(orbitals_fn)
+    else:
+        ke = local_kinetic_energy(f, use_scan=use_scan,
+                                  complex_output=complex_output,
+                                  laplacian_chunk=laplacian_chunk,
+                                  pair_output=pair_output)
 
     def _e_l(params, key: chex.PRNGKey, data) -> Tuple[jnp.ndarray, None]:
         del key

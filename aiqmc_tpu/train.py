@@ -234,9 +234,21 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
 def _build_local_energy(cfg, network):
     complex_output, pair_output = _effective_complex(cfg)
     laplacian_method = cfg.optim.get("laplacian", "default")
-    if complex_output:
-        laplacian_method = "default"  # forward Laplacian is real-only
+    if complex_output and not pair_output:
+        # The forward Laplacian covers real wavefunctions and the (re, im)
+        # pair representation; only the true complex-dtype path (never used
+        # on TPU — no complex64) falls back to batched tangents.
+        laplacian_method = "default"
     orbitals_fn = network.orbitals if laplacian_method == "forward" else None
+    # network.orbitals is boost-free (pbc/twist.apply_twist wraps apply), so
+    # the forward kinetic gets the twist wavevector analytically.
+    twist_k = None
+    _twist = np.asarray(cfg.system.get("twist", (0.0, 0.0, 0.0)), dtype=float)
+    if (laplacian_method == "forward" and cfg.system.get("pbc", False)
+            and np.any(_twist != 0.0)):
+        from aiqmc_tpu.pbc import twist as twist_lib
+        twist_k = twist_lib.twist_wavevector(
+            np.asarray(cfg.system.structure), _twist)
     if cfg.system.get("make_local_energy_fn", ""):
         # Importlib plugin hook (ref ferminet/train.py:688-702): the named
         # factory receives the signed network and system info and returns
@@ -287,6 +299,7 @@ def _build_local_energy(cfg, network):
                 laplacian_method=laplacian_method,
                 orbitals_fn=orbitals_fn,
                 pair_output=pair_output,
+                twist_k=twist_k,
                 quadrature=pp.get("quadrature", "msc50"))
         from aiqmc_tpu.pbc import ewald
         return ewald.local_energy(
@@ -298,6 +311,10 @@ def _build_local_energy(cfg, network):
             heg=cfg.system.ewald.heg,
             convergence_radius=cfg.system.ewald.truncation_limit,
             laplacian_chunk=cfg.optim.laplacian_chunk,
+            laplacian_method=laplacian_method,
+            orbitals_fn=orbitals_fn,
+            twist_k=twist_k,
+            ndim=cfg.system.ndim,
             pair_output=pair_output)
     if cfg.system.use_pp:
         pp = cfg.system.pp

@@ -229,3 +229,88 @@ def test_primitive_battery_vs_hessian_oracle(name):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.lap), np.asarray(l0),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Complex-pair forward Laplacian (TPU-safe complex representation): the
+# orbital network is all-real, only the determinant tail is complex; these
+# pin exact agreement with the batched-tangent pair kinetic.
+# ---------------------------------------------------------------------------
+
+def _pair_setup(complex_pairs):
+    nel = 4
+    spins = np.array([1.0, 1.0, -1.0, -1.0])
+    atoms = jnp.asarray([[0.0, 0.0, -0.8], [0.0, 0.0, 0.8]])
+    charges = jnp.asarray([2.0, 2.0])
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nel)
+    up, down = spin_indices.spin_indices_h(spins)
+    kw = dict(nspins=(2, 2), charges=charges, parallel_indices=par,
+              antiparallel_indices=anti, spin_up_indices=up,
+              spin_down_indices=down, n_parallel=n_par,
+              n_antiparallel=n_anti, ndim=3, natoms=2, nelectrons=nel,
+              determinants=3, hidden_dims=((8, 4), (8, 4)),
+              hidden_dims_Ynlm=(4, 4), full_equivariance=True,
+              bounded_envelope=True, regular_harmonics=True)
+    if complex_pairs:
+        net = nn.make_ai_net(complex_orbitals=True, complex_pairs=True, **kw)
+    else:
+        net = nn.make_ai_net(complex_orbitals=False, **kw)
+    return net, spins, atoms, charges
+
+
+def _assert_pair_ke_match(net, params, spins, atoms, charges, ke_ref, ke_fwd,
+                          seeds):
+    for seed in seeds:
+        pos = jax.random.normal(jax.random.PRNGKey(seed), (12,))
+        data = AINetData(positions=pos, spins=jnp.asarray(spins), atoms=atoms,
+                         charges=charges)
+        want = np.asarray(ke_ref(params, data))
+        got = np.asarray(ke_fwd(params, data))
+        np.testing.assert_allclose(got, want, rtol=3e-3, atol=1e-5)
+
+
+def test_pair_forward_kinetic_matches_batched_tangent():
+    net, spins, atoms, charges = _pair_setup(complex_pairs=True)
+    params = net.init(jax.random.PRNGKey(0))
+    ke_ref = kinetic.local_kinetic_energy(net.apply, complex_output=True,
+                                          pair_output=True)
+    ke_fwd = fl.make_forward_kinetic_pair(net.orbitals)
+    _assert_pair_ke_match(net, params, spins, atoms, charges, ke_ref, ke_fwd,
+                          range(3))
+
+
+def test_pair_forward_kinetic_twist_boost():
+    """The plane-wave boost enters the forward pair kinetic analytically
+    (grad_phase += k); must match the batched tangents through the wrapped
+    apply."""
+    from aiqmc_tpu.pbc import twist as twist_lib
+
+    net, spins, atoms, charges = _pair_setup(complex_pairs=True)
+    params = net.init(jax.random.PRNGKey(0))
+    lattice = np.eye(3) * 5.0
+    tw = (0.25, -0.25, 0.125)
+    netT = twist_lib.apply_twist(net, lattice, tw)
+    kvec = twist_lib.twist_wavevector(lattice, tw)
+    ke_ref = kinetic.local_kinetic_energy(netT.apply, complex_output=True,
+                                          pair_output=True)
+    ke_fwd = fl.make_forward_kinetic_pair(netT.orbitals, twist_k=kvec)
+    _assert_pair_ke_match(net, params, spins, atoms, charges, ke_ref, ke_fwd,
+                          range(7, 9))
+
+
+def test_twisted_real_forward_kinetic():
+    """Gamma-real ansatz at a twist (pbc/twist.real_to_angle): the orbitals
+    stay real, the boost supplies the whole phase."""
+    from aiqmc_tpu.pbc import twist as twist_lib
+
+    net, spins, atoms, charges = _pair_setup(complex_pairs=False)
+    params = net.init(jax.random.PRNGKey(1))
+    lattice = np.eye(3) * 5.0
+    tw = (0.25, -0.25, 0.125)
+    netT = twist_lib.apply_twist(twist_lib.real_to_angle(net), lattice, tw)
+    kvec = twist_lib.twist_wavevector(lattice, tw)
+    ke_ref = kinetic.local_kinetic_energy(netT.apply, complex_output=True,
+                                          pair_output=True)
+    ke_fwd = fl.make_forward_kinetic_pair(netT.orbitals, twist_k=kvec)
+    _assert_pair_ke_match(net, params, spins, atoms, charges, ke_ref, ke_fwd,
+                          range(17, 19))

@@ -151,6 +151,35 @@ def test_fstream_ecp_kfac_forward_laplacian(tmp_path):
     assert np.all(np.isfinite(result.energies))
 
 
+def test_diamond_twist_forward_pair_laplacian(tmp_path):
+    """Twisted complex-pairs diamond with the forward pair Laplacian end to
+    end (the PBC production wiring once scripts/probe_forward_pair.py passes
+    on the chip): twist_k threads train._build_local_energy -> pp_pbc ->
+    make_forward_kinetic_pair."""
+    from aiqmc_tpu.configs import diamond_ccecp
+
+    cfg = diamond_ccecp.get_config()
+    with cfg.unlocked():
+        cfg.batch_size = 8
+        cfg.network.hidden_dims = ((8, 4),)
+        cfg.network.hidden_dims_ynlm = (4,)
+        cfg.network.determinants = 2
+        cfg.network.complex_orbitals = True
+        cfg.network.complex_pairs = True
+        cfg.system.twist = (0.25, -0.25, 0.25)
+        cfg.optim.laplacian = "forward"
+        cfg.optim.optimizer = "adam"
+        cfg.optim.iterations = 2
+        cfg.mcmc.steps = 1
+        cfg.mcmc.burn_in = 1
+        cfg.pretrain.iterations = 0
+        cfg.debug.deterministic = True
+        cfg.log.save_path = str(tmp_path)
+        cfg.log.save_frequency = 1e9
+    result = train.train(cfg)
+    assert np.all(np.isfinite(result.energies))
+
+
 def test_psiformer_ecp_kfac_forward_laplacian(tmp_path):
     """Arm-D path: PsiFormer ansatz + ccECP + native KFAC + forward Laplacian
     end to end (scripts/run_c_ccecp_psiformer.py uses exactly this wiring)."""
