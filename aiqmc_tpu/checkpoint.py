@@ -29,7 +29,8 @@ CKPT_PREFIX = "qmcjax_ckpt_"
 def find_last_checkpoint(ckpt_path: Optional[str] = None) -> Optional[str]:
     """Most recent loadable checkpoint in a directory (ref checkpoint.py:13-24)."""
     if ckpt_path and os.path.exists(ckpt_path):
-        files = [f for f in os.listdir(ckpt_path) if CKPT_PREFIX in f]
+        files = [f for f in os.listdir(ckpt_path)
+                 if CKPT_PREFIX in f and f.endswith(".npz")]
         for file in sorted(files, reverse=True):
             fname = os.path.join(ckpt_path, file)
             with open(fname, "rb") as f:
@@ -84,8 +85,13 @@ def save(save_path: str, t: int, data: AINetData, params, opt_state,
     }
     for key, value in (extra or {}).items():
         payload["extra_" + key] = np.asarray(value)
-    with open(ckpt_filename, "wb") as f:
+    # Atomic write: queue stages are routinely killed by `timeout` (see
+    # CLAUDE.md chip-queue workflow) and a kill mid-savez must never leave a
+    # half-written file under the final name.
+    tmp_filename = ckpt_filename + ".tmp"
+    with open(tmp_filename, "wb") as f:
         np.savez(f, **payload)
+    os.replace(tmp_filename, ckpt_filename)
     return ckpt_filename
 
 

@@ -137,3 +137,37 @@ def test_param_shape_mismatch_diagnosis(tmp_path):
     target = {"streams": {"w": jnp.zeros((4, 4))}, "jastrow_ae": {}}
     with pytest.raises(ValueError, match="streams/w"):
         checkpoint.restore(found, target_params=target)
+
+
+def test_truncated_latest_falls_back(tmp_path):
+    """A `timeout` kill mid-write must not break restore-and-continue: the
+    scanner skips a truncated newest file (and any leftover .tmp) and returns
+    the previous good checkpoint."""
+    params = {"w": jnp.ones((2,))}
+    data = AINetData(positions=jnp.ones((4, 6)), spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    good = checkpoint.save(str(tmp_path), 3, data, params, [])
+    bad = checkpoint.save(str(tmp_path), 4, data, params, [])
+    with open(bad, "rb") as f:
+        head = f.read(200)          # cut before the zip central directory
+    with open(bad, "wb") as f:
+        f.write(head)
+    # Simulated kill mid-savez under the atomic-write scheme: only a .tmp.
+    with open(os.path.join(str(tmp_path),
+                           checkpoint.CKPT_PREFIX + "000005.npz.tmp"),
+              "wb") as f:
+        f.write(b"partial")
+    found = checkpoint.find_last_checkpoint(str(tmp_path))
+    assert found == good
+    t, *_ = checkpoint.restore(found, batch_size=4, target_params=params)
+    assert t == 4
+
+
+def test_save_is_atomic(tmp_path):
+    """save() leaves no .tmp behind and the final file loads."""
+    params = {"w": jnp.ones((2,))}
+    data = AINetData(positions=jnp.ones((4, 6)), spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    path = checkpoint.save(str(tmp_path), 1, data, params, [])
+    assert not [f for f in os.listdir(str(tmp_path)) if f.endswith(".tmp")]
+    assert checkpoint.find_last_checkpoint(str(tmp_path)) == path
