@@ -28,9 +28,16 @@ def propose_drift_diffusion(signed_network,
                             tstep: float,
                             ndim: int,
                             nelectrons: int,
-                            batch_size: int):
+                            batch_size: int,
+                            phase_kill: bool = True):
     """Returns drift_diffusion(params, key, data) ->
-    (new_data, new_key, tdamp, v_old, v_new)."""
+    (new_data, new_key, tdamp, v_old, v_new).
+
+    phase_kill=False disables the fixed-node rejection for FIXED-PHASE DMC
+    on smooth complex trials (complex-pairs networks: the phase varies
+    continuously and its gradient is already a potential term in Re E_L, so
+    rejecting phase changes would bias the walk). Keep True for real trials
+    and twisted-real trials (genuine nodes)."""
 
     def drift_diffusion(params, key: chex.PRNGKey, data: AINetData):
         spins, atoms, charges = data.spins, data.atoms, data.charges
@@ -74,10 +81,11 @@ def propose_drift_diffusion(signed_network,
             log_t = (forward - backward) / (2.0 * tstep)
             log_ratio = 2.0 * (logpsi2 - logpsi) + log_t
             acceptance = jnp.exp(jnp.minimum(log_ratio, 0.0))
-            # Fixed-node: kill node-crossing moves (sign/phase flip,
-            # ref DMC/drift_diffusion.py:87-89).
-            same_side = jnp.cos(phase2 - phase) > 0.0
-            acceptance = acceptance * same_side.astype(acceptance.dtype)
+            if phase_kill:
+                # Fixed-node: kill node-crossing moves (sign/phase flip,
+                # ref DMC/drift_diffusion.py:87-89).
+                same_side = jnp.cos(phase2 - phase) > 0.0
+                acceptance = acceptance * same_side.astype(acceptance.dtype)
             acceptance = jnp.where(jnp.isfinite(acceptance), acceptance, 0.0)
             rnd = jax.random.uniform(accept_key, shape=acceptance.shape)
             stuck = ~jnp.isfinite(logpsi) & jnp.isfinite(logpsi2)

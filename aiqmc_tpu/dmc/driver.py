@@ -18,8 +18,8 @@ from absl import logging
 
 from aiqmc_tpu import checkpoint as checkpoint_lib
 from aiqmc_tpu.dmc.branch import branch
-from aiqmc_tpu.dmc.propagate import calculate_total_energy, dmc_propagate
-from aiqmc_tpu.hamiltonian import pp_local_energy
+from aiqmc_tpu.dmc.propagate import (build_dmc_local_energy,
+                                     calculate_total_energy, dmc_propagate)
 from aiqmc_tpu.models import network as nn, spin_indices
 from aiqmc_tpu.utils import writers
 
@@ -59,8 +59,23 @@ def main(atoms,
          fused_step: bool = False,
          use_ema: bool = False,
          seed: int = 1,
-         network=None):
-    """Runs DMC; returns (per-block energies, final data, final weights)."""
+         network=None,
+         lattice=None,
+         convergence_radius: int = 5,
+         complex_output: Optional[bool] = None,
+         pair_output: bool = False,
+         phase_kill: Optional[bool] = None):
+    """Runs DMC; returns (per-block energies, final data, final weights).
+
+    Fixed-phase / periodic extensions (beyond the reference's real molecular
+    DMC): pass ``network=`` a prebuilt complex-pairs (optionally twisted)
+    Network with ``complex_output=True, pair_output=True`` to run FIXED-PHASE
+    DMC (branching on Re E_L — the fixed-phase effective energy of |psi|);
+    ``lattice=`` selects the periodic Hamiltonian (Ewald + minimum-image
+    ccECP channels; T-moves forced off). ``phase_kill`` defaults to the
+    fixed-node rejection for real trials and OFF for pair trials (smooth
+    phase; set it explicitly for twisted-REAL trials, which keep nodes).
+    """
     del structure
     logging.info("Diffusion Quantum Monte Carlo start")
     key = jax.random.PRNGKey(seed)
@@ -113,34 +128,35 @@ def main(atoms,
         positions=jnp.asarray(data.positions), spins=jnp.asarray(data.spins),
         atoms=jnp.asarray(data.atoms), charges=jnp.asarray(data.charges))
 
-    complex_output = network_kwargs.get("complex_orbitals", False)
-    all_electron = Rn_local is None
-    if all_electron:
-        from aiqmc_tpu.hamiltonian import local_energy as ae_local_energy
-        localenergy = ae_local_energy.local_energy(
-            f=signed_network, charges=jnp.asarray(charges),
-            nspins=tuple(nspins), complex_output=complex_output)
-    else:
-        localenergy = pp_local_energy.local_energy(
-            f=signed_network, lognetwork=None, charges=jnp.asarray(charges),
-            nspins=tuple(nspins), rn_local=jnp.asarray(Rn_local),
-            local_coes=jnp.asarray(Local_coes),
-            local_exps=jnp.asarray(Local_exps),
-            rn_non_local=jnp.asarray(Rn_non_local),
-            non_local_coes=jnp.asarray(Non_local_coes),
-            non_local_exps=jnp.asarray(Non_local_exps), natoms=natoms,
-            nelectrons=nelectrons, ndim=ndim, list_l=list_l,
-            complex_output=complex_output, quadrature=quadrature)
-    total_e = jax.jit(calculate_total_energy(localenergy))
+    if complex_output is None:
+        complex_output = network_kwargs.get("complex_orbitals", False)
+    if phase_kill is None:
+        # Smooth complex-pair trials have no nodes (fixed-phase walk); real
+        # trials keep the fixed-node rejection.
+        phase_kill = not pair_output
+
+    def _maybe(x):
+        return None if x is None else jnp.asarray(x)
+
+    localenergy = build_dmc_local_energy(
+        signed_network=signed_network, charges=jnp.asarray(charges),
+        spins=tuple(nspins), Rn_local=_maybe(Rn_local),
+        Local_coes=_maybe(Local_coes), Local_exps=_maybe(Local_exps),
+        Rn_non_local=_maybe(Rn_non_local),
+        Non_local_coes=_maybe(Non_local_coes),
+        Non_local_exps=_maybe(Non_local_exps), natoms=natoms,
+        nelectrons=nelectrons, ndim=ndim, list_l=list_l,
+        complex_output=complex_output, pair_output=pair_output,
+        lattice=_maybe(lattice), convergence_radius=convergence_radius,
+        quadrature=quadrature)
+    total_e = jax.jit(calculate_total_energy(localenergy,
+                                             pair_output=pair_output))
     key, subkey = jax.random.split(key)
     _, (e_init, var_init) = total_e(params, subkey, data)
     e_trial = e_init
     e_est = e_init
     esigma = jnp.sqrt(var_init.real)
     logging.info("DMC initial energy %s, sigma %s", e_init, esigma)
-
-    def _maybe(x):
-        return None if x is None else jnp.asarray(x)
 
     # NOT wrapped in an outer jit: dmc_propagate dispatches its
     # stages as separate compiled programs (see dmc/propagate.py).
@@ -156,7 +172,8 @@ def main(atoms,
         Non_local_exps=_maybe(Non_local_exps),
         complex_output=complex_output, quadrature=quadrature,
         use_tmoves=use_tmoves and Rn_local is not None,
-        fused=fused_step))
+        fused=fused_step, pair_output=pair_output, lattice=_maybe(lattice),
+        convergence_radius=convergence_radius, phase_kill=phase_kill))
     jit_branch = jax.jit(branch)
 
     weights = jnp.ones((batch_size,))

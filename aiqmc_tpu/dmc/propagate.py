@@ -31,10 +31,17 @@ from aiqmc_tpu.hamiltonian import pp_local_energy
 from aiqmc_tpu.models.network import AINetData
 
 
-def calculate_total_energy(local_energy):
+def calculate_total_energy(local_energy, pair_output: bool = False):
     """Batch-averaged local energy (ref DMC/total_energy.py:9-33).
 
-    Returns fn(params, key, data) -> (per-walker E_L, (mean, variance))."""
+    Returns fn(params, key, data) -> (per-walker E_L, (mean, variance)).
+
+    pair_output: the local energy returns the TPU-safe stacked [Re, Im] pair
+    (complex-pairs/twisted trials); reduce to the REAL component, which is
+    exactly the fixed-phase effective local energy of |psi|
+    (Ortiz-Ceperley-Martin 1993: E_FP = -1/2 (lap log|psi| + |grad log|psi||^2)
+    + V + 1/2 |grad phase|^2 = Re E_L), so the downstream S-matrix/branching
+    machinery is unchanged."""
     batch_local_energy = jax.vmap(
         local_energy,
         in_axes=(None, 0, AINetData(positions=0, spins=None, atoms=None,
@@ -44,11 +51,62 @@ def calculate_total_energy(local_energy):
     def total_energy(params, key: chex.PRNGKey, data: AINetData):
         keys = jax.random.split(key, num=data.positions.shape[0])
         e_l, _ = batch_local_energy(params, keys, data)
+        if pair_output:
+            e_l = e_l[..., 0]
         mean = jnp.mean(e_l)
         variance = jnp.mean(jnp.abs(e_l - mean) ** 2)
         return e_l, (mean, variance)
 
     return total_energy
+
+
+def build_dmc_local_energy(signed_network, charges, spins, Rn_local,
+                           Local_coes, Local_exps, Rn_non_local,
+                           Non_local_coes, Non_local_exps, natoms,
+                           nelectrons, ndim, list_l,
+                           complex_output: bool = False,
+                           laplacian_chunk: Optional[int] = None,
+                           pair_output: bool = False,
+                           lattice=None,
+                           convergence_radius: int = 5,
+                           quadrature: str = "msc50"):
+    """Selects the DMC Hamiltonian: molecular all-electron / molecular ccECP
+    (refs Energy/hamiltonian.py, Energy/pphamiltonian.py) or, with a lattice,
+    the periodic variants (Ewald; + minimum-image ccECP channels when tables
+    are present). Shared by dmc_propagate and the driver's E_init estimate."""
+    all_electron = Rn_local is None
+    if lattice is not None and not all_electron:
+        from aiqmc_tpu.hamiltonian import pp_pbc
+        return pp_pbc.local_energy(
+            f=signed_network, charges=charges, nspins=spins, lattice=lattice,
+            rn_local=Rn_local, local_coes=Local_coes, local_exps=Local_exps,
+            rn_non_local=Rn_non_local, non_local_coes=Non_local_coes,
+            non_local_exps=Non_local_exps, natoms=natoms,
+            nelectrons=nelectrons, ndim=ndim, list_l=list_l,
+            complex_output=complex_output,
+            convergence_radius=convergence_radius,
+            laplacian_chunk=laplacian_chunk, pair_output=pair_output,
+            quadrature=quadrature)
+    if lattice is not None:
+        from aiqmc_tpu.pbc import ewald as ewald_lib
+        return ewald_lib.local_energy(
+            f=signed_network, charges=charges, nspins=spins, lattice=lattice,
+            complex_output=complex_output,
+            convergence_radius=convergence_radius,
+            laplacian_chunk=laplacian_chunk, pair_output=pair_output)
+    if all_electron:
+        return ae_local_energy.local_energy(
+            f=signed_network, charges=charges, nspins=spins,
+            complex_output=complex_output, laplacian_chunk=laplacian_chunk,
+            pair_output=pair_output)
+    return pp_local_energy.local_energy(
+        f=signed_network, lognetwork=None, charges=charges, nspins=spins,
+        rn_local=Rn_local, local_coes=Local_coes, local_exps=Local_exps,
+        rn_non_local=Rn_non_local, non_local_coes=Non_local_coes,
+        non_local_exps=Non_local_exps, natoms=natoms, nelectrons=nelectrons,
+        ndim=ndim, list_l=list_l, complex_output=complex_output,
+        laplacian_chunk=laplacian_chunk, pair_output=pair_output,
+        quadrature=quadrature)
 
 
 def dmc_propagate(signed_network,
@@ -73,7 +131,11 @@ def dmc_propagate(signed_network,
                   laplacian_chunk: Optional[int] = None,
                   use_tmoves: bool = True,
                   quadrature: str = "msc50",
-                  fused: bool = False):
+                  fused: bool = False,
+                  pair_output: bool = False,
+                  lattice=None,
+                  convergence_radius: int = 5,
+                  phase_kill: bool = True):
     """Builds dmc_propagate_run(params, key, data, weights, branchcut, e_trial,
     e_est) -> (eloc_new, weights, new_data) (ref DMC/dmc.py:72-93).
 
@@ -84,10 +146,27 @@ def dmc_propagate(signed_network,
     evaluations + reweighting) as ONE program — lower dispatch overhead, but
     gated off by default because the round-1 axon toolchain miscompiled the
     fused shape (module docstring); run scripts/probe_fused_dmc.py on the
-    current toolchain before enabling."""
+    current toolchain before enabling.
+
+    pair_output=True runs FIXED-PHASE DMC on a complex-pair/twisted trial
+    (beyond the reference, whose DMC is real molecular): the local energy is
+    the stacked [Re, Im] pair and the branching weight uses Re E_L — exactly
+    the fixed-phase effective energy of |psi| (calculate_total_energy).
+    Combine with phase_kill=False for smooth complex trials (no nodes; a
+    fixed-node rejection would bias the walk) but keep phase_kill=True for
+    twisted-REAL trials (pbc/twist.real_to_angle: the real factor still has
+    genuine nodes under the smooth boost).
+
+    lattice (+convergence_radius) selects the periodic Hamiltonian: Ewald
+    with the given charges, plus the short-range ccECP channels at minimum
+    image when pseudopotential tables are present (hamiltonian/pp_pbc.py).
+    T-moves are not yet wired for periodic trials — use_tmoves is forced
+    off with a lattice (locality approximation)."""
     del log_network, logabs_f, nsteps  # API parity with the reference factory
 
     all_electron = Rn_local is None
+    if lattice is not None:
+        use_tmoves = False
     tmove = compute_tmoves(
         list_l=list_l, tstep=tstep, nelectrons=nelectrons, natoms=natoms,
         ndim=ndim, signed_network=signed_network, Rn_non_local=Rn_non_local,
@@ -97,21 +176,18 @@ def dmc_propagate(signed_network,
 
     drift_diffusion = propose_drift_diffusion(
         signed_network=signed_network, tstep=tstep, ndim=ndim,
-        nelectrons=nelectrons, batch_size=batch_size)
+        nelectrons=nelectrons, batch_size=batch_size, phase_kill=phase_kill)
 
-    if all_electron:
-        localenergy = ae_local_energy.local_energy(
-            f=signed_network, charges=charges, nspins=spins,
-            complex_output=complex_output, laplacian_chunk=laplacian_chunk)
-    else:
-        localenergy = pp_local_energy.local_energy(
-            f=signed_network, lognetwork=None, charges=charges, nspins=spins,
-            rn_local=Rn_local, local_coes=Local_coes, local_exps=Local_exps,
-            rn_non_local=Rn_non_local, non_local_coes=Non_local_coes,
-            non_local_exps=Non_local_exps, natoms=natoms, nelectrons=nelectrons,
-            ndim=ndim, list_l=list_l, complex_output=complex_output,
-            laplacian_chunk=laplacian_chunk, quadrature=quadrature)
-    total_e = calculate_total_energy(localenergy)
+    localenergy = build_dmc_local_energy(
+        signed_network=signed_network, charges=charges, spins=spins,
+        Rn_local=Rn_local, Local_coes=Local_coes, Local_exps=Local_exps,
+        Rn_non_local=Rn_non_local, Non_local_coes=Non_local_coes,
+        Non_local_exps=Non_local_exps, natoms=natoms, nelectrons=nelectrons,
+        ndim=ndim, list_l=list_l, complex_output=complex_output,
+        laplacian_chunk=laplacian_chunk, pair_output=pair_output,
+        lattice=lattice, convergence_radius=convergence_radius,
+        quadrature=quadrature)
+    total_e = calculate_total_energy(localenergy, pair_output=pair_output)
 
     def move_walkers(params, key: chex.PRNGKey, data: AINetData):
         """Program 1: T-moves + drift-diffusion. Returns the post-T-move data

@@ -40,7 +40,9 @@ for i, theta in enumerate(twists):
         cfg.network.pbc_smooth_r = True
         cfg.system.twist = tuple(float(t) for t in theta)
         cfg.optim.optimizer = "none"
-        cfg.optim.laplacian = "default"   # complex pair path at twists
+        # Flip to "forward" (pair forward Laplacian, ~2x kinetic) once
+        # scripts/probe_forward_pair.py passes on the chip.
+        cfg.optim.laplacian = "default"
         cfg.optim.iterations = iterations
         cfg.mcmc.tstep = 0.25
         cfg.mcmc.steps = 10

@@ -288,3 +288,116 @@ def test_dmc_from_psiformer_trial(tmp_path):
     assert energies.shape == (2,)
     assert np.all(np.isfinite(energies))
     assert np.all(np.isfinite(np.asarray(weights)))
+
+
+def test_fixed_phase_dmc_projects_boosted_hydrogen():
+    """FIXED-PHASE DMC (complex pair trial, beyond the reference): a
+    plane-wave-boosted hydrogen trial psi = e^{-0.8 r} e^{i k.r} with the
+    wrong magnitude must project to the exact ground state OF the fixed
+    phase, E = -0.5 + k^2/2 (H_FP = -del^2/2 + V + |grad phase|^2/2 and
+    grad phase = k is constant). Exercises pair_output local energy ->
+    Re-E_L branching -> phase_kill=False through dmc_propagate."""
+    from aiqmc_tpu.dmc.propagate import dmc_propagate, calculate_total_energy
+    from aiqmc_tpu.hamiltonian import local_energy as ae
+
+    alpha = 0.8
+    kvec = jnp.array([0.4, 0.0, 0.0])
+
+    def psi(params, pos, spins, atoms, charges):
+        return jnp.dot(kvec, pos), -alpha * jnp.linalg.norm(pos)
+
+    batch, tstep = 512, 0.03
+    run = (dmc_propagate(
+        signed_network=psi, log_network=None, logabs_f=None, list_l=0,
+        nelectrons=1, natoms=1, ndim=3, batch_size=batch, tstep=tstep,
+        nsteps=1, charges=jnp.array([1.0]), spins=(1, 0), Rn_local=None,
+        Local_coes=None, Local_exps=None, Rn_non_local=None,
+        Non_local_coes=None, Non_local_exps=None, complex_output=True,
+        pair_output=True, phase_kill=False))
+    jb = jax.jit(branch_lib.branch)
+    key = jax.random.PRNGKey(0)
+    data = AINetData(positions=jax.random.normal(key, (batch, 3)),
+                     spins=jnp.array([1.0]), atoms=jnp.zeros((1, 3)),
+                     charges=jnp.array([1.0]))
+    el = ae.local_energy(psi, jnp.array([1.0]), (1, 0), complex_output=True,
+                         pair_output=True)
+    tot = jax.jit(calculate_total_energy(el, pair_output=True))
+    _, (e0, var0) = tot(None, key, data)
+    e_trial = e_est = e0
+    weights = jnp.ones((batch,))
+    es = []
+    for t in range(300):
+        key, sk, bk = jax.random.split(key, 3)
+        energy, weights, data = run(None, sk, data, weights,
+                                    10.0 * jnp.sqrt(var0), e_trial, e_est)
+        w = weights / jnp.sum(weights)
+        e_est = jnp.sum(energy * w)
+        es.append(float(e_est))
+        if t % 5 == 4:
+            data, weights, _ = jb(data, weights, bk)
+        e_trial = e_est - 0.3 * jnp.log(jnp.mean(weights)).real
+    tail = np.mean(es[-80:])
+    want = -0.5 + 0.5 * float(jnp.sum(kvec ** 2))
+    # wrong trial starts near the VMC value -0.48 + k^2/2
+    assert abs(float(e0) - (-0.48 + 0.08)) < 0.02
+    np.testing.assert_allclose(tail, want, atol=0.015)
+
+
+def test_dmc_periodic_fixed_phase_from_twisted_pair_trial(tmp_path):
+    """Periodic fixed-phase DMC end to end: a twisted complex-pairs diamond
+    trial (save a checkpoint directly, as a finished VMC run would) drives
+    driver.main(lattice=..., pair_output=True) — Ewald + minimum-image ccECP
+    Hamiltonian, Re-E_L branching, no T-moves, finite energies/weights."""
+    from aiqmc_tpu import checkpoint as ckpt_lib
+    from aiqmc_tpu.configs import diamond_ccecp, c_atom_ccecp as c
+    from aiqmc_tpu.dmc import driver
+    from aiqmc_tpu.models import network as nn_lib, spin_indices
+    from aiqmc_tpu.pbc import twist as twist_lib
+    from aiqmc_tpu.sampling.init_electrons import init_electrons
+
+    cfg = diamond_ccecp.get_config()
+    spins = np.asarray(cfg.system.spins)
+    nel = spins.size
+    atoms = np.asarray(cfg.system.atoms)
+    charges = np.asarray(cfg.system.charges)
+    lattice = np.asarray(cfg.system.structure)
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nel)
+    up, down = spin_indices.spin_indices_h(spins)
+    base = nn_lib.make_ai_net(
+        nspins=(4, 4), charges=jnp.asarray(charges), parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=2,
+        nelectrons=nel, determinants=2, hidden_dims=((8, 4),),
+        hidden_dims_Ynlm=(4,), full_equivariance=True, jastrow_ae=False,
+        complex_orbitals=True, complex_pairs=True, lattice=lattice,
+        pbc_smooth_r=True)
+    tw = (0.25, -0.25, 0.25)
+    network = twist_lib.apply_twist(base, lattice, tw)
+
+    key = jax.random.PRNGKey(0)
+    params = network.init(key)
+    batch = 8
+    pos, spins_b = init_electrons(key, None, jnp.asarray(atoms),
+                                  jnp.asarray(charges), jnp.asarray(spins),
+                                  batch_size=batch, init_width=1.0)
+    data = AINetData(positions=pos, spins=spins_b, atoms=jnp.asarray(atoms),
+                     charges=jnp.asarray(charges))
+    ckpt_lib.save(str(tmp_path), 0, data, params, [])
+
+    pp = cfg.system.pp
+    energies, _, weights = driver.main(
+        network=network, atoms=atoms, charges=charges, spins=spins,
+        tstep=0.02, nelectrons=nel, nsteps=1, natoms=2, ndim=3,
+        batch_size=batch, iterations=2, nblocks=2, feedback=1.0,
+        nspins=(4, 4), save_path=str(tmp_path), restore_path=None,
+        save_frequency=1e9, Rn_local=np.asarray(pp.rn_local),
+        Local_coes=np.asarray(pp.local_coes),
+        Local_exps=np.asarray(pp.local_exps),
+        Rn_non_local=np.asarray(pp.rn_non_local),
+        Non_local_coes=np.asarray(pp.non_local_coes),
+        Non_local_exps=np.asarray(pp.non_local_exps), list_l=2,
+        quadrature="icosahedral12", lattice=lattice,
+        complex_output=True, pair_output=True)
+    assert energies.shape == (2,)
+    assert np.all(np.isfinite(energies))
+    assert np.all(np.isfinite(np.asarray(weights)))
