@@ -44,9 +44,18 @@ run_stage () {  # name timeout_s cmd...
   echo "=== $name done rc=$? $(date) ===" >> "$Q"
 }
 
+# Cheap toolchain probes first (~15 min each, cached compiles): gate the
+# pair forward Laplacian for PBC/twist scripts (scripts/probe_forward_pair.py
+# prints PASS/FAIL) and re-test the fused one-program DMC shape on the
+# current stack (ROADMAP: failed on the 2026-08 toolchain).
+run_stage probe_forward_pair 1800 python -u scripts/probe_forward_pair.py
+run_stage probe_fused_dmc_r3 1800 python -u scripts/probe_fused_dmc.py
+
 now=$(date +%s)
 total=$(( HARD_END - now - 1200 ))
 # Reserve 90 min for the final DMC; everything before that is training.
+# (Diamond fixed-phase DMC — scripts/run_diamond_dmc.py from the trained
+# twist checkpoints — is interactive round-3 work, not queued here.)
 train_budget=$(( total - 5400 ))
 
 if [ "$OPTIMIZER" = "spring" ]; then
