@@ -24,8 +24,14 @@ import numpy as np
 from aiqmc_tpu.models.network import AINetData
 
 
-def make_s2(signed_network, nspins: Tuple[int, int]):
-    """Returns s2(params, data) for one configuration (spin-assigned)."""
+def make_s2(signed_network, nspins: Tuple[int, int],
+            complex_output: bool = False):
+    """Returns s2(params, data) for one configuration (spin-assigned).
+
+    complex_output: the network's first output is a phase ANGLE (complex or
+    pair-complex mode, incl. twisted-real via pbc/twist.real_to_angle), so the
+    swap-ratio phase factor is Re e^{i(phase_swap - phase)} = cos(dphase);
+    real networks return a +-1 sign, where the plain product is the factor."""
     na, nb = sorted(nspins, reverse=True)
     nswaps = nspins[0] * nspins[1]
 
@@ -54,7 +60,11 @@ def make_s2(signed_network, nspins: Tuple[int, int]):
         sign_swap, log_swap = jax.vmap(
             signed_network, in_axes=(None, 0, None, None, None))(
                 params, configs, data.spins, data.atoms, data.charges)
-        ratios = sign_psi * sign_swap * jnp.exp(log_swap - log_psi)
+        if complex_output:
+            phase_factor = jnp.cos(sign_swap - sign_psi)
+        else:
+            phase_factor = sign_psi * sign_swap
+        ratios = phase_factor * jnp.exp(log_swap - log_psi)
         return s2_diagonal - jnp.sum(ratios)
 
     return s2_estimator

@@ -752,7 +752,8 @@ def train(cfg: ml_collections.ConfigDict,
         from aiqmc_tpu import observables as obs_lib
         if cfg.observables.s2:
             obs_fns["s2"] = jax.jit(obs_lib.make_observable_fns(
-                obs_lib.make_s2(network.apply, tuple(cfg.system.nspins))))
+                obs_lib.make_s2(network.apply, tuple(cfg.system.nspins),
+                                complex_output=_effective_complex(cfg)[0])))
         if cfg.observables.dipole:
             obs_fns["dipole"] = jax.jit(obs_lib.make_observable_fns(
                 obs_lib.make_dipole(network.apply)))

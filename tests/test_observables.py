@@ -68,3 +68,24 @@ def test_density_histogram():
     hist = np.asarray(dens(data))
     assert hist.sum() == 2
     assert hist[2] == 1  # r = 1.0 in bin [1.0, 1.5)
+
+
+def test_s2_angle_representation_matches_sign():
+    """S^2 on a phase-ANGLE network (complex/pair/twisted-real mode) must
+    equal the +-1-sign evaluation of the same wavefunction: spin swaps
+    preserve sum_i r_i, so the plane-wave boost cancels in the swap ratio
+    and cos(dphase) reduces to the sign product. Regression: the sign
+    PRODUCT applied to angles is silently wrong."""
+    from aiqmc_tpu.pbc import twist as twist_lib
+
+    net, spins, atoms, charges = _net(4)
+    params = net.init(jax.random.PRNGKey(0))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (12,))
+    data = AINetData(positions=pos, spins=spins, atoms=atoms, charges=charges)
+    want = float(observables.make_s2(net.apply, (2, 2))(params, data))
+
+    twisted = twist_lib.apply_twist(twist_lib.real_to_angle(net),
+                                    np.eye(3) * 5.0, (0.25, -0.25, 0.125))
+    got = float(observables.make_s2(twisted.apply, (2, 2),
+                                    complex_output=True)(params, data))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
