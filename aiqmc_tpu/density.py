@@ -89,7 +89,8 @@ class DensityState:
 
 
 def make_one_rdm_aux(signed_network, atoms, charges, nspins,
-                     ndim: int = 3, mcmc_steps: int = 10):
+                     ndim: int = 3, mcmc_steps: int = 10,
+                     complex_output: bool = False):
     """One-RDM in the HF molecular-orbital basis via importance sampling.
 
         rho^s_ij = N_s * E_{x ~ |psi|^2, r' ~ p_HF} [
@@ -170,7 +171,14 @@ def make_one_rdm_aux(signed_network, atoms, charges, nspins,
                 state.positions)
             signs_n, logs_n = batch_net(params, pos2, data.spins, data.atoms,
                                         data.charges)
-            ratio = signs_n * signs_d * jnp.exp(logs_n - logs_d)
+            # Angle-output networks (complex/pair/twisted-real): the ratio's
+            # phase factor is Re e^{i(phase_n - phase_d)}; real networks
+            # return +-1 signs, where the plain product is the factor.
+            if complex_output:
+                phase_factor = jnp.cos(signs_n - signs_d)
+            else:
+                phase_factor = signs_n * signs_d
+            ratio = phase_factor * jnp.exp(logs_n - logs_d)
             r1 = data.positions[:, i0 * ndim:(i0 + 1) * ndim]
             phi_i = eval_basis(basis, r1) @ mo
             w = ratio * inv_p

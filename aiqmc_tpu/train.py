@@ -765,7 +765,8 @@ def train(cfg: ml_collections.ConfigDict,
             d_init, d_update, d_estimator = density_lib.make_one_rdm_aux(
                 network.apply, np.asarray(cfg.system.atoms),
                 np.asarray(cfg.system.charges), tuple(cfg.system.nspins),
-                mcmc_steps=cfg.observables.get("density_mcmc_steps", 10))
+                mcmc_steps=cfg.observables.get("density_mcmc_steps", 10),
+                complex_output=_effective_complex(cfg)[0])
             if "density_positions" in ckpt_extra:
                 d_state = density_lib.DensityState(
                     t=jnp.asarray(ckpt_extra["density_t"]),
