@@ -737,6 +737,28 @@ def train(cfg: ml_collections.ConfigDict,
         mcmc_width = jnp.asarray(float(cfg.mcmc.move_width))
     pmoves_buf = np.zeros(cfg.mcmc.adapt_frequency)
 
+    # Normalisability guard (cheap: nelec x 4 forward evals): a flat
+    # log|psi| tail ionises walkers and sends the energy toward 0 — catch it
+    # before burning compute (the reference's unbounded-envelope defect;
+    # aiqmc_tpu/diagnostics.py). Molecular systems only: under PBC the
+    # far-radius probe has no meaning (positions wrap).
+    if not cfg.system.get("pbc", False) and not cfg.system.get("states", 0):
+        from aiqmc_tpu import diagnostics
+        # One locally-addressable walker (multi-process safe).
+        _pos0 = np.asarray(data.positions.addressable_shards[0].data)[0]
+        _probe = nn.AINetData(positions=jnp.asarray(_pos0), spins=data.spins,
+                              atoms=data.atoms, charges=data.charges)
+        _logabs = lambda p, x, s, a, c: network.apply(p, x, s, a, c)[1]
+        _ok, _prof = diagnostics.check_normalisable(
+            _logabs, params, _probe)
+        if not _ok:
+            logging.warning(
+                "Wavefunction normalisability check FAILED: log|psi| does "
+                "not decay on every electron ray (profiles per electron x "
+                "radius:\n%s).\nWalkers may ionise (energy trending to 0). "
+                "Check the envelope configuration (bounded_envelope, "
+                "envelope_type).", np.array2string(_prof, precision=2))
+
     # Burn-in: MCMC only (ref ferminet/train.py:820-838 pattern).
     if cfg.mcmc.burn_in > 0:
         jit_mc = jax.jit(mc_step, donate_argnums=(1,))
