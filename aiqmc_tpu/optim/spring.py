@@ -22,8 +22,10 @@ TV-clipped) residual:
     theta  += lr(t) * delta_t
 
 mu=0 recovers plain MinSR; the mu-coupled previous direction is SPRING's
-iterate-reuse, which stabilises the small-lam regime. Real wavefunctions only
-(the magnitude carries the Fisher information; matches the KFAC restriction).
+iterate-reuse, which stabilises the small-lam regime. Real wavefunctions and
+the TPU-safe complex-pair representation are supported (pair mode solves the
+complex MinSR normal equations exactly, in real arithmetic on the stacked
+[d log|psi|; d phase] jacobian — see make_spring_optimizer).
 
 TPU precision note: every matmul touching O runs at Precision.HIGHEST. The
 default TPU matmul truncates f32 inputs to bf16 (~1e-2 relative error on the
@@ -67,7 +69,9 @@ class SpringState:
 def make_spring_optimizer(logabs_network,
                           local_energy,
                           params_template: ParamTree,
-                          options: SpringOptions):
+                          options: SpringOptions,
+                          pair_output: bool = False,
+                          signed_network=None):
     """Builds (init, step) with step(params, state, key, data) ->
     (params, state, loss, aux) — drop-in for the KFAC step in the trainer.
 
@@ -76,7 +80,18 @@ def make_spring_optimizer(logabs_network,
       local_energy: single-walker e_l(params, key, data) -> (E_L, aux).
       params_template: params pytree (sizes the flat direction vector).
       options: hyperparameters.
+      pair_output: complex wavefunction in the TPU-safe (re, im) pair
+        representation. Complex MinSR/SPRING reduces EXACTLY to the real
+        solve on the stacked (2B, P) jacobian [d log|psi|; d phase] with the
+        stacked residual [-Re diff; -Im diff]: every inner product in the
+        normal equations is the real part of the complex one, so the solve,
+        the energy-gradient identity 2 Re E[conj(O)(E_L - E)] and the
+        quantum-metric trust region all come out right in real arithmetic.
+        Requires ``signed_network`` (phase, log|psi|).
+      signed_network: (params, ...) -> (phase, log|psi|), pair mode only.
     """
+    if pair_output and signed_network is None:
+        raise ValueError("pair_output SPRING needs signed_network")
     flat0, unravel = ravel_pytree(params_template)
     nparams = flat0.size
 
@@ -97,44 +112,75 @@ def make_spring_optimizer(logabs_network,
         keys = jax.random.split(key, num=batch)
         e_l, _ = batch_local_energy(params, keys, data)
         e_l = _mask_nonfinite(e_l)  # singular walkers contribute zero residual
-        loss = jnp.mean(e_l)
-        variance = jnp.mean((e_l - loss) ** 2)
-
-        if options.clip_local_energy > 0.0:
-            _, diff = clip_local_values(
-                e_l, loss, options.clip_local_energy,
-                clip_from_median=True, center_at_clipped_value=True)
+        if pair_output:
+            loss_pair = jnp.mean(e_l, axis=0)            # (2,) [Re, Im]
+            loss = loss_pair[0]
+            variance = jnp.mean(
+                jnp.sum((e_l - loss_pair[None]) ** 2, axis=-1))
+            if options.clip_local_energy > 0.0:
+                _, diff = clip_local_values(
+                    e_l, loss_pair, options.clip_local_energy,
+                    clip_from_median=True, center_at_clipped_value=True,
+                    pair_output=True)
+            else:
+                diff = e_l - loss_pair[None]
         else:
-            diff = e_l - loss
-
-        # Per-sample flat jacobian of log|psi| (the B x P matrix O).
-        def flat_logpsi(flat_params, pos):
-            return logabs_network(unravel(flat_params), pos, data.spins,
-                                  data.atoms, data.charges)
+            loss = jnp.mean(e_l)
+            variance = jnp.mean((e_l - loss) ** 2)
+            if options.clip_local_energy > 0.0:
+                _, diff = clip_local_values(
+                    e_l, loss, options.clip_local_energy,
+                    clip_from_median=True, center_at_clipped_value=True)
+            else:
+                diff = e_l - loss
 
         flat_params = ravel_pytree(params)[0]
-        o = jax.vmap(jax.grad(flat_logpsi, argnums=0),
-                     in_axes=(None, 0))(flat_params, data.positions)
+        sqrt_b = jnp.sqrt(jnp.asarray(batch, flat_params.dtype))
         # A walker at a singular configuration (node, coalescence) has a
-        # non-finite score row; one such row NaNs the whole B x B solve
-        # (observed on-chip: runs/c_spring collapsed at iter 1623). Make the
-        # walker INERT: exclude it from the centering mean, zero its centered
-        # row AND its residual entry, so its t_mat row/col is exactly lam*e_i
+        # non-finite score row; one such row NaNs the whole solve (observed
+        # on-chip: runs/c_spring collapsed at iter 1623). Make the walker
+        # INERT: exclude it from the centering mean, zero its centered row
+        # AND its residual entry, so its t_mat row/col is exactly lam*e_i
         # with rhs_i = 0 -> x_i = 0 and it contributes nothing to delta,
         # independent of the singular walker's content.
-        row_ok = jnp.all(jnp.isfinite(o), axis=1, keepdims=True)
-        o = jnp.where(row_ok, o, 0.0)
-        n_ok = jnp.maximum(jnp.sum(row_ok.astype(o.dtype)), 1.0)
-        o_mean = jnp.sum(o, axis=0, keepdims=True) / n_ok
-        sqrt_b = jnp.sqrt(jnp.asarray(batch, o.dtype))
-        o = jnp.where(row_ok, o - o_mean, 0.0) / sqrt_b
-        eps = jnp.where(row_ok[:, 0], -diff, 0.0) / sqrt_b
+        if pair_output:
+            # Stacked (2B, P) real form of complex MinSR (see docstring):
+            # rows are [d log|psi|] then [d phase], residuals [-Re, -Im].
+            def flat_sig(fp, pos):
+                phase, mag = signed_network(unravel(fp), pos, data.spins,
+                                            data.atoms, data.charges)
+                return jnp.stack([mag, phase])
+
+            o2 = jax.vmap(jax.jacrev(flat_sig, argnums=0),
+                          in_axes=(None, 0))(flat_params, data.positions)
+            ok_w = jnp.all(jnp.isfinite(o2), axis=(1, 2))      # (B,)
+            o2 = jnp.where(ok_w[:, None, None], o2, 0.0)
+            n_ok = jnp.maximum(jnp.sum(ok_w.astype(o2.dtype)), 1.0)
+            mean2 = jnp.sum(o2, axis=0, keepdims=True) / n_ok
+            o2 = jnp.where(ok_w[:, None, None], o2 - mean2, 0.0) / sqrt_b
+            o = jnp.concatenate([o2[:, 0, :], o2[:, 1, :]], axis=0)
+            eps = jnp.concatenate([jnp.where(ok_w, -diff[:, 0], 0.0),
+                                   jnp.where(ok_w, -diff[:, 1], 0.0)]) / sqrt_b
+        else:
+            # Per-sample flat jacobian of log|psi| (the B x P matrix O).
+            def flat_logpsi(fp, pos):
+                return logabs_network(unravel(fp), pos, data.spins,
+                                      data.atoms, data.charges)
+
+            o = jax.vmap(jax.grad(flat_logpsi, argnums=0),
+                         in_axes=(None, 0))(flat_params, data.positions)
+            row_ok = jnp.all(jnp.isfinite(o), axis=1, keepdims=True)
+            o = jnp.where(row_ok, o, 0.0)
+            n_ok = jnp.maximum(jnp.sum(row_ok.astype(o.dtype)), 1.0)
+            o_mean = jnp.sum(o, axis=0, keepdims=True) / n_ok
+            o = jnp.where(row_ok, o - o_mean, 0.0) / sqrt_b
+            eps = jnp.where(row_ok[:, 0], -diff, 0.0) / sqrt_b
 
         # Sample-space solve: (O O^T + lam I) x = eps - mu O delta_prev.
         # HIGHEST precision is load-bearing on TPU (see module docstring).
         hi = jax.lax.Precision.HIGHEST
         t_mat = (jnp.matmul(o, o.T, precision=hi)
-                 + options.damping * jnp.eye(batch, dtype=o.dtype))
+                 + options.damping * jnp.eye(o.shape[0], dtype=o.dtype))
         rhs = eps - options.mu * jnp.matmul(o, state.prev_delta, precision=hi)
         chol = jax.scipy.linalg.cho_factor(t_mat)
         x = jax.scipy.linalg.cho_solve(chol, rhs)

@@ -500,8 +500,9 @@ def _make_training_components(cfg, network, batch_size: int,
                                    combined_step)
 
     if cfg.optim.optimizer == "spring":
-        if complex_output:
-            raise NotImplementedError("SPRING requires a real wavefunction")
+        if complex_output and not pair_output:
+            raise NotImplementedError(
+                "SPRING needs a real or pair-complex wavefunction")
         if params_template is None:
             raise ValueError("SPRING requires a params template at build time")
         from aiqmc_tpu.optim import spring as spring_lib
@@ -515,7 +516,9 @@ def _make_training_components(cfg, network, batch_size: int,
             logabs_network=logabs_network,
             local_energy=localenergy,
             params_template=params_template,
-            options=sp_options)
+            options=sp_options,
+            pair_output=pair_output,
+            signed_network=network.apply if pair_output else None)
 
         def combined_step_spring(params, opt_state, data, key, width):
             mcmc_key, loss_key = jax.random.split(key)

@@ -165,3 +165,51 @@ def test_spring_matmuls_are_highest_precision():
     big = [e for e in bad
            if any(v.aval.ndim >= 2 for v in e.invars if hasattr(v, "aval"))]
     assert not big, f"non-HIGHEST matrix dot_general(s) in SPRING step: {big}"
+
+
+def test_spring_pair_optimises_phase_and_magnitude():
+    """Complex-pair SPRING (stacked [d log|psi|; d phase] MinSR solve): for
+    the boosted hydrogen trial psi = e^{-a r} e^{i b.r},
+    E(a, b) = a^2/2 - a + |b|^2/2 — the solve must descend BOTH the magnitude
+    parameter a -> 1 AND the phase parameter b -> 0; a magnitude-only score
+    matrix cannot move b at all (E has no a-b coupling)."""
+    from aiqmc_tpu.hamiltonian import local_energy as ae
+    from aiqmc_tpu.optim import spring as spring_lib
+    from aiqmc_tpu.models.network import AINetData
+
+    def signed(params, pos, spins, atoms, charges):
+        r = jnp.linalg.norm(pos)
+        return jnp.dot(params["b"], pos), -params["a"] * r
+
+    def logabs(params, pos, spins, atoms, charges):
+        return signed(params, pos, spins, atoms, charges)[1]
+
+    params = {"a": jnp.asarray(0.8), "b": jnp.asarray([0.4, 0.0, -0.2])}
+    e_l = ae.local_energy(signed, jnp.asarray([1.0]), (1, 0),
+                          complex_output=True, pair_output=True)
+    opts = spring_lib.SpringOptions(damping=1e-3, mu=0.9,
+                                    clip_local_energy=5.0,
+                                    norm_constraint=1e-3,
+                                    learning_rate_schedule=lambda t: 0.05)
+    init, step = spring_lib.make_spring_optimizer(
+        logabs, e_l, params, opts, pair_output=True, signed_network=signed)
+    state = init(params)
+    key = jax.random.PRNGKey(0)
+    # walkers ~ |psi|^2: exponential-ish; crude MH-free sampling via
+    # normal(0, 1/a) is adequate for a descent test at large batch.
+    pos = jax.random.normal(key, (2048, 3)) / 0.8
+    data = AINetData(positions=pos, spins=jnp.asarray([1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.asarray([1.0]))
+    jit_step = jax.jit(step)
+    a0, b0 = float(params["a"]), float(jnp.linalg.norm(params["b"]))
+    for t in range(40):
+        key, sk = jax.random.split(key)
+        # refresh walkers around the current magnitude scale
+        pos = jax.random.normal(sk, (2048, 3)) / float(params["a"])
+        data = AINetData(positions=pos, spins=jnp.asarray([1.0]),
+                         atoms=jnp.zeros((1, 3)), charges=jnp.asarray([1.0]))
+        params, state, loss, aux = jit_step(params, state, sk, data)
+    a1, b1 = float(params["a"]), float(jnp.linalg.norm(params["b"]))
+    assert np.isfinite(float(loss))
+    assert abs(a1 - 1.0) < abs(a0 - 1.0), (a0, a1)   # magnitude moved to 1
+    assert b1 < 0.5 * b0, (b0, b1)                   # PHASE moved toward 0

@@ -151,6 +151,18 @@ def test_fstream_ecp_kfac_forward_laplacian(tmp_path):
     assert np.all(np.isfinite(result.energies))
 
 
+def test_h2_complex_pairs_spring(tmp_path):
+    """Complex-pair SPRING through train.train (stacked-jacobian MinSR)."""
+    cfg = _h2_cfg()
+    with cfg.unlocked():
+        cfg.network.complex_orbitals = True
+        cfg.network.complex_pairs = True
+        cfg.optim.optimizer = "spring"
+        cfg.log.save_path = str(tmp_path)
+    result = train.train(cfg)
+    assert np.all(np.isfinite(result.energies))
+
+
 def test_diamond_twist_forward_pair_laplacian(tmp_path):
     """Twisted complex-pairs diamond with the forward pair Laplacian end to
     end (the PBC production wiring once scripts/probe_forward_pair.py passes
