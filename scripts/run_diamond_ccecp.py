@@ -7,7 +7,11 @@ Optionally at a twist: pass a fractional twist as three trailing floats
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
-       scripts/run_diamond_ccecp.py [iterations] [save_path] [tx ty tz]
+       scripts/run_diamond_ccecp.py [iterations] [save_path] [tx ty tz] \
+           [optimizer]
+
+optimizer: kfac (default) or spring — the complex-pair SPRING stacked solve
+(optim/spring.py), ~3x KFAC's iteration rate at this batch on the flagship.
 """
 import sys
 
@@ -20,6 +24,7 @@ iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/diamond_ccecp"
 twist = (tuple(float(v) for v in sys.argv[3:6]) if len(sys.argv) > 5
          else (0.0, 0.0, 0.0))
+optimizer = sys.argv[6] if len(sys.argv) > 6 else "kfac"
 
 cfg = diamond_ccecp.get_config()
 with cfg.unlocked():
@@ -34,7 +39,7 @@ with cfg.unlocked():
         cfg.network.complex_pairs = True   # TPU-safe complex representation
     else:
         cfg.optim.laplacian = "forward"
-    cfg.optim.optimizer = "kfac"
+    cfg.optim.optimizer = optimizer
     cfg.optim.iterations = iterations
     cfg.optim.kfac.lr.rate = 0.05
     cfg.optim.kfac.lr.delay = 3000.0
