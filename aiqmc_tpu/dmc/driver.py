@@ -72,7 +72,8 @@ def main(atoms,
     Network with ``complex_output=True, pair_output=True`` to run FIXED-PHASE
     DMC (branching on Re E_L — the fixed-phase effective energy of |psi|);
     ``lattice=`` selects the periodic Hamiltonian (Ewald + minimum-image
-    ccECP channels; T-moves forced off). ``phase_kill`` defaults to the
+    ccECP channels; T-moves act about nearest-image atoms, amplitudes from
+    Re psi-ratios). ``phase_kill`` defaults to the
     fixed-node rejection for real trials and OFF for pair trials (smooth
     phase; set it explicitly for twisted-REAL trials, which keep nodes).
     """

@@ -160,18 +160,18 @@ def dmc_propagate(signed_network,
     lattice (+convergence_radius) selects the periodic Hamiltonian: Ewald
     with the given charges, plus the short-range ccECP channels at minimum
     image when pseudopotential tables are present (hamiltonian/pp_pbc.py).
-    T-moves are not yet wired for periodic trials — use_tmoves is forced
-    off with a lattice (locality approximation)."""
+    T-moves act about nearest-image atoms under a lattice (tmoves.py); with
+    pair trials their amplitudes use Re psi-ratios (fixed-phase matrix
+    elements)."""
     del log_network, logabs_f, nsteps  # API parity with the reference factory
 
     all_electron = Rn_local is None
-    if lattice is not None:
-        use_tmoves = False
     tmove = compute_tmoves(
         list_l=list_l, tstep=tstep, nelectrons=nelectrons, natoms=natoms,
         ndim=ndim, signed_network=signed_network, Rn_non_local=Rn_non_local,
         Non_local_coes=Non_local_coes, Non_local_exps=Non_local_exps,
-        complex_output=complex_output, quadrature=quadrature) \
+        complex_output=complex_output, quadrature=quadrature,
+        lattice=lattice) \
         if (use_tmoves and not all_electron) else None
 
     drift_diffusion = propose_drift_diffusion(

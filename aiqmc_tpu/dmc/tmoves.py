@@ -42,11 +42,20 @@ def compute_tmoves(list_l: int,
                    Non_local_exps: jnp.ndarray,
                    reference_compat: bool = False,
                    complex_output: bool = False,
-                   quadrature: str = "msc50"):
-    """Returns tmove(data, params, key) -> (new positions (3N,), move mask)."""
+                   quadrature: str = "msc50",
+                   lattice=None):
+    """Returns tmove(data, params, key) -> (new positions (3N,), move mask).
+
+    lattice: periodic systems — the projector acts about each atom's NEAREST
+    image (minimum-image displacements, quadrature sphere centred on that
+    image), matching hamiltonian/ecp.make_nonlocal_pp_energy. With an
+    angle-output network (complex/pair/twisted) the amplitudes use the REAL
+    part of the psi ratio, which is the fixed-phase effective-Hamiltonian
+    matrix element."""
     get_v_l = ecp.get_non_v_l(ndim, nelectrons, natoms, Rn_non_local,
                               Non_local_coes, Non_local_exps,
-                              reference_compat=reference_compat)
+                              reference_compat=reference_compat,
+                              lattice=lattice)
     base_points, base_weights = ecp.get_quadrature(quadrature)
     base_points = jnp.asarray(base_points)
     base_weights = jnp.asarray(base_weights)
@@ -56,15 +65,20 @@ def compute_tmoves(list_l: int,
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         pos = data.positions
         x = jnp.reshape(pos, (nelectrons, ndim))
-        ae = x[:, None, :] - data.atoms[None, :, :]
+        ae = ecp.min_image(x[:, None, :] - data.atoms[None, :, :], lattice)
         r_ae = jnp.linalg.norm(ae, axis=-1)
         u = ae / r_ae[..., None]
+        # Quadrature sphere centre: the atom (molecular) or its nearest image
+        # to each electron (periodic), exactly as make_nonlocal_pp_energy.
+        centres = (x[:, None, :] - ae if lattice is not None
+                   else jnp.broadcast_to(data.atoms[None, :, :],
+                                         (nelectrons, natoms, ndim)))
 
         key, rot_key, select_key = jax.random.split(key, num=3)
         rot = jax.random.orthogonal(rot_key, n=ndim)
         pts = base_points @ rot
         cos_theta = jnp.einsum("iad,qd->iaq", u, pts)
-        new_e = (data.atoms[None, :, None, :] +
+        new_e = (centres[:, :, None, :] +
                  r_ae[..., None, None] * pts[None, None])  # (nelec,natoms,nq,3)
 
         base = jnp.broadcast_to(pos, (nelectrons, natoms, nq, nelectrons * ndim))

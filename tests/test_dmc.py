@@ -396,8 +396,59 @@ def test_dmc_periodic_fixed_phase_from_twisted_pair_trial(tmp_path):
         Rn_non_local=np.asarray(pp.rn_non_local),
         Non_local_coes=np.asarray(pp.non_local_coes),
         Non_local_exps=np.asarray(pp.non_local_exps), list_l=2,
-        quadrature="icosahedral12", lattice=lattice,
+        quadrature="icosahedral12", lattice=lattice, use_tmoves=True,
         complex_output=True, pair_output=True)
     assert energies.shape == (2,)
     assert np.all(np.isfinite(energies))
     assert np.all(np.isfinite(np.asarray(weights)))
+
+
+def test_tmoves_lattice_translation_invariance():
+    """Periodic T-moves: translating every electron by a lattice vector
+    leaves the proposed move (relative displacement) and the move decision
+    identical — the projector acts about nearest-image atoms and the
+    periodic pair network's ratios are translation invariant."""
+    from aiqmc_tpu.configs import diamond_ccecp
+    from aiqmc_tpu.dmc.tmoves import compute_tmoves
+    from aiqmc_tpu.models import network as nn_lib, spin_indices
+
+    cfg = diamond_ccecp.get_config()
+    spins = np.asarray(cfg.system.spins)
+    nel = spins.size
+    lattice = np.asarray(cfg.system.structure)
+    atoms = jnp.asarray(cfg.system.atoms)
+    charges = jnp.asarray(cfg.system.charges)
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nel)
+    up, down = spin_indices.spin_indices_h(spins)
+    net = nn_lib.make_ai_net(
+        nspins=(4, 4), charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=2,
+        nelectrons=nel, determinants=2, hidden_dims=((8, 4),),
+        hidden_dims_Ynlm=(4,), full_equivariance=True, jastrow_ae=False,
+        complex_orbitals=True, complex_pairs=True, lattice=lattice,
+        pbc_smooth_r=True)
+    params = net.init(jax.random.PRNGKey(0))
+    pp = cfg.system.pp
+    tmove = compute_tmoves(
+        list_l=2, tstep=0.05, nelectrons=nel, natoms=2, ndim=3,
+        signed_network=net.apply,
+        Rn_non_local=jnp.asarray(pp.rn_non_local),
+        Non_local_coes=jnp.asarray(pp.non_local_coes),
+        Non_local_exps=jnp.asarray(pp.non_local_exps),
+        complex_output=True, quadrature="icosahedral12",
+        lattice=jnp.asarray(lattice))
+
+    key = jax.random.PRNGKey(3)
+    pos = jax.random.uniform(key, (nel * 3,)) * 3.0
+    shift = jnp.tile(jnp.asarray(lattice[0] + lattice[2],
+                                 dtype=pos.dtype), nel)
+    data = AINetData(positions=pos, spins=jnp.asarray(spins), atoms=atoms,
+                     charges=charges)
+    data_shift = AINetData(positions=pos + shift, spins=jnp.asarray(spins),
+                           atoms=atoms, charges=charges)
+    new_pos, moved = tmove(data, params, jax.random.PRNGKey(7))
+    new_pos_s, moved_s = tmove(data_shift, params, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(moved), np.asarray(moved_s))
+    np.testing.assert_allclose(np.asarray(new_pos_s - new_pos),
+                               np.asarray(shift), atol=2e-4)
