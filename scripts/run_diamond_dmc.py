@@ -5,9 +5,9 @@ DMC-comparable number.
 
 The trial network sizing/twist MUST match the VMC run that produced the
 checkpoint (scripts/run_diamond_ccecp.py). Branching uses Re E_L (the
-fixed-phase effective energy), T-moves are off under PBC (locality
-approximation), and phase_kill is off for complex-pair trials (smooth
-phase, no nodes).
+fixed-phase effective energy), T-moves act about nearest-image atoms
+(Casula scheme, Re-psi-ratio amplitudes), and phase_kill is off for
+complex-pair trials (smooth phase, no nodes).
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
