@@ -237,7 +237,11 @@ def logdet_matmul_pair(xs: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
         if xr.shape[-1] > 1:
             c, s, ld = fast_slogdet.slogdet_pair(xr, xi)
             cos, sin, logdet = cos * c - sin * s, cos * s + sin * c, logdet + ld
-    maxlogdet = jnp.max(jnp.asarray(logdet))
+    # Floor the max: with EVERY det underflowed to log 0 = -inf the naive
+    # max-subtraction yields exp(-inf + inf) = NaN; the floor turns psi = 0
+    # into the correct log_out = -inf instead.
+    maxlogdet = jnp.maximum(jnp.max(jnp.asarray(logdet)),
+                            jnp.asarray(-1e30, dtype=jnp.asarray(logdet).dtype))
     scale = jnp.exp(logdet - maxlogdet)
     det_r, det_i = cos * scale, sin * scale
     if det1_r is not None:

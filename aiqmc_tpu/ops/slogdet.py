@@ -186,20 +186,24 @@ def _ge_slogdet_pair(ar: jnp.ndarray, ai: jnp.ndarray):
     for k in range(n):
         ar, ai, prow_r, prow_i, swap_sign = _pivot_select_pair(ar, ai, k)
         pr, pi = prow_r[..., k], prow_i[..., k]
-        mag2 = pr * pr + pi * pi
-        mag = jnp.sqrt(mag2)
-        logabs = logabs + 0.5 * jnp.log(mag2)
+        # hypot, NOT sqrt(pr^2 + pi^2): squaring underflows f32 at pivot
+        # magnitudes ~1e-30, which real GE (|pivot| directly) survives —
+        # observed as NaN log|psi| for far-electron probes on pair networks.
+        mag = jnp.hypot(pr, pi)
+        logabs = logabs + jnp.log(mag)
         safe_mag = jnp.where(mag == 0, 1.0, mag)
         # phase *= swap_sign * piv / |piv|
         ur, ui = pr / safe_mag, pi / safe_mag
         cos, sin = (swap_sign * (cos * ur - sin * ui),
                     swap_sign * (cos * ui + sin * ur))
         if k + 1 < n:
-            safe2 = jnp.where(mag2 == 0, 1.0, mag2)[..., None]
             br, bi = ar[..., k + 1:, k], ai[..., k + 1:, k]
-            # m = a[k+1:, k] / piv  (complex division)
-            mr = (br * pr[..., None] + bi * pi[..., None]) / safe2
-            mi = (bi * pr[..., None] - br * pi[..., None]) / safe2
+            # m = a[k+1:, k] / piv as (b * conj(u)) / |piv|: two scaled
+            # divisions, no squared magnitude in the denominator.
+            urc, uic = ur[..., None], ui[..., None]
+            sm = safe_mag[..., None]
+            mr = (br * urc + bi * uic) / sm
+            mi = (bi * urc - br * uic) / sm
             ar = ar.at[..., k + 1:, :].add(
                 -(mr[..., None] * prow_r[..., None, :]
                   - mi[..., None] * prow_i[..., None, :]))

@@ -94,3 +94,34 @@ def test_pallas_kernel_matches_ge(n):
     np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_g))
     np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_g),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_slogdet_pair_tiny_magnitudes_no_underflow():
+    """Pivot magnitudes ~1e-30 must not underflow (the old pr^2+pi^2 form
+    zeroed them in f32 -> -inf/NaN log|psi| for far-electron configurations
+    on complex-pair networks; hypot survives)."""
+    from aiqmc_tpu.ops import slogdet as S
+    rng = np.random.RandomState(3)
+    scale = 1e-18
+    ar = (rng.standard_normal((3, 4, 4)) * scale).astype(np.float32)
+    ai = (rng.standard_normal((3, 4, 4)) * scale).astype(np.float32)
+    cos, sin, logabs = S.slogdet_pair(jnp.asarray(ar), jnp.asarray(ai))
+    assert np.all(np.isfinite(np.asarray(logabs))), np.asarray(logabs)
+    # float64 oracle
+    want = np.linalg.slogdet(ar.astype(np.float64)
+                             + 1j * ai.astype(np.float64))[1]
+    np.testing.assert_allclose(np.asarray(logabs), want, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(cos) ** 2 + np.asarray(sin) ** 2,
+                               1.0, atol=1e-5)
+
+
+def test_logdet_matmul_pair_all_underflowed_is_neg_inf_not_nan():
+    """All determinants at zero magnitude: log|psi| must be -inf (psi = 0),
+    never NaN (the naive max-subtraction gave exp(-inf + inf))."""
+    from aiqmc_tpu.models import blocks
+    xr = jnp.zeros((2, 3, 3))
+    xi = jnp.zeros((2, 3, 3))
+    phase, log = blocks.logdet_matmul_pair([(xr, xi)])
+    assert not np.isnan(float(log))
+    assert float(log) == -np.inf
+    assert np.isfinite(float(phase))
