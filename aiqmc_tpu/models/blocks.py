@@ -192,7 +192,12 @@ def logdet_matmul(xs: Sequence[jnp.ndarray],
         lambda a, b: (a[0] * b[0], a[1] + b[1]),
         [slogdet(x) for x in xs if x.shape[-1] > 1], (1, 0))
 
-    maxlogdet = jnp.max(logdet)
+    # Same -inf floor as logdet_matmul_pair: psi = 0 -> log_out = -inf,
+    # never exp(-inf + inf) = NaN. (logdet is the python int 0 when every
+    # block is 1x1 — promote to float before flooring.)
+    logdet = jnp.asarray(logdet, jnp.result_type(logdet, jnp.float32))
+    maxlogdet = jnp.maximum(jnp.max(logdet),
+                            jnp.asarray(-1e30, logdet.dtype))
     det = phase_in * det1d * jnp.exp(logdet - maxlogdet)
     if w is None:
         result = jnp.sum(det)

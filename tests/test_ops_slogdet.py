@@ -125,3 +125,16 @@ def test_logdet_matmul_pair_all_underflowed_is_neg_inf_not_nan():
     assert not np.isnan(float(log))
     assert float(log) == -np.inf
     assert np.isfinite(float(phase))
+
+
+def test_logdet_matmul_all_underflowed_is_neg_inf_not_nan():
+    """Real path symmetry: all-zero determinants -> log|psi| = -inf, not NaN
+    (max-subtraction floor); the 1x1-only branch (int logdet init) still
+    promotes cleanly."""
+    from aiqmc_tpu.models import blocks
+    phase, log = blocks.logdet_matmul([jnp.zeros((2, 3, 3))])
+    assert not np.isnan(float(log))
+    assert float(log) == -np.inf
+    # 1x1-only blocks: logdet stays the python-int reduce init.
+    phase1, log1 = blocks.logdet_matmul([jnp.full((2, 1, 1), 0.5)])
+    np.testing.assert_allclose(float(log1), np.log(2 * 0.5), rtol=1e-6)
