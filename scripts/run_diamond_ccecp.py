@@ -8,10 +8,13 @@ Optionally at a twist: pass a fractional twist as three trailing floats
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
        scripts/run_diamond_ccecp.py [iterations] [save_path] [tx ty tz] \
-           [optimizer]
+           [optimizer] [laplacian]
 
 optimizer: kfac (default) or spring — the complex-pair SPRING stacked solve
 (optim/spring.py), ~3x KFAC's iteration rate at this batch on the flagship.
+laplacian (twist branch only): default | forward — pass "forward" ONLY after
+scripts/probe_forward_pair.py passes on the current chip toolchain (~2.2x
+local energy on this config; axon miscompile history).
 """
 import sys
 
@@ -25,6 +28,7 @@ save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/diamond_ccecp
 twist = (tuple(float(v) for v in sys.argv[3:6]) if len(sys.argv) > 5
          else (0.0, 0.0, 0.0))
 optimizer = sys.argv[6] if len(sys.argv) > 6 else "kfac"
+twist_laplacian = sys.argv[7] if len(sys.argv) > 7 else "default"
 
 cfg = diamond_ccecp.get_config()
 with cfg.unlocked():
@@ -37,6 +41,7 @@ with cfg.unlocked():
     if any(t != 0.0 for t in twist):
         cfg.network.complex_orbitals = True
         cfg.network.complex_pairs = True   # TPU-safe complex representation
+        cfg.optim.laplacian = twist_laplacian
     else:
         cfg.optim.laplacian = "forward"
     cfg.optim.optimizer = optimizer
