@@ -12,7 +12,10 @@ lr-boost/SPRING arms have reported (ROADMAP.md round-3 plan).
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
-       scripts/run_c_ccecp_kfac_fstream.py [iterations] [save_path]
+       scripts/run_c_ccecp_kfac_fstream.py [iterations] [save_path] [laplacian]
+
+laplacian: forward (default) | default — pass "default" when
+scripts/probe_forward_real.py FAILs on the current chip toolchain.
 """
 import sys
 
@@ -23,6 +26,7 @@ from aiqmc_tpu.configs import c_atom_ccecp
 
 iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c_kfac_fstream"
+laplacian = sys.argv[3] if len(sys.argv) > 3 else "forward"
 
 cfg = c_atom_ccecp.get_config()
 with cfg.unlocked():
@@ -33,7 +37,7 @@ with cfg.unlocked():
     cfg.network.determinants = 16
     cfg.network.h_stream = "ferminet"
     cfg.optim.optimizer = "kfac"
-    cfg.optim.laplacian = "forward"
+    cfg.optim.laplacian = laplacian
     cfg.system.pp.quadrature = "icosahedral12"
     cfg.optim.iterations = iterations
     cfg.optim.kfac.lr.rate = 0.05

@@ -10,7 +10,10 @@ UHF pretraining targets from the data-free basis fallback).
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
-       scripts/run_si_vmc.py [iterations] [save_path]
+       scripts/run_si_vmc.py [iterations] [save_path] [laplacian]
+
+laplacian: forward (default) | default — pass "default" when
+scripts/probe_forward_real.py FAILs on the current chip toolchain.
 """
 import sys
 
@@ -21,6 +24,7 @@ from aiqmc_tpu import config as config_lib
 
 iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/si_vmc"
+laplacian = sys.argv[3] if len(sys.argv) > 3 else "forward"
 
 cfg = config_lib.default()
 with cfg.unlocked():
@@ -33,7 +37,7 @@ with cfg.unlocked():
     cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)
     cfg.network.determinants = 8
     cfg.optim.optimizer = "kfac"
-    cfg.optim.laplacian = "forward"
+    cfg.optim.laplacian = laplacian
     cfg.optim.iterations = iterations
     # First attempt (runs/si_vmc, seed 43, lr 0.05) reached -288.6 Ha at
     # iteration 1500 (exact -289.36) then diverged through finite steps at
