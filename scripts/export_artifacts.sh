@@ -1,0 +1,41 @@
+#!/bin/bash
+# Export trained state into git so it survives machine swaps.
+#
+# Round-2 lesson: runs/ is gitignored and the box was swapped mid-round, which
+# destroyed the 67k-iteration flagship checkpoint (BASELINE.md round-2 tail
+# rows) and every queued probe's state — the ROADMAP's continuation arms died
+# with it. Committed artifacts make restore-and-continue work ACROSS rounds:
+# point cfg.log.restore_path at artifacts/<run>/ (checkpoint.find_last_checkpoint
+# scans any directory) or copy the file back under runs/<run>/.
+#
+# Copies, for each runs/<name> directory that has checkpoints:
+#   - the LATEST qmcjax_ckpt_*.npz (full state: walkers, params, opt state,
+#     extras incl. EMA) -> artifacts/<name>/
+#   - train_states.csv, gzipped (the energy trace behind BASELINE.md rows)
+#
+# Usage: bash scripts/export_artifacts.sh [name ...]   # default: all of runs/
+set -u
+cd /root/repo
+mkdir -p artifacts
+names=("$@")
+if [ "${#names[@]}" -eq 0 ]; then
+  for d in runs/*/; do
+    [ -d "$d" ] && names+=("$(basename "$d")")
+  done
+fi
+for name in "${names[@]}"; do
+  dir="runs/$name"
+  [ -d "$dir" ] || { echo "skip $name (no dir)"; continue; }
+  last=$(ls "$dir"/qmcjax_ckpt_*.npz 2>/dev/null | sort | tail -1)
+  if [ -z "$last" ]; then echo "skip $name (no checkpoints)"; continue; fi
+  mkdir -p "artifacts/$name"
+  cp -f "$last" "artifacts/$name/"
+  if [ -f "$dir/train_states.csv" ]; then
+    gzip -c "$dir/train_states.csv" > "artifacts/$name/train_states.csv.gz"
+  fi
+  if [ -f "$dir/DMC_states.csv" ]; then
+    gzip -c "$dir/DMC_states.csv" > "artifacts/$name/DMC_states.csv.gz"
+  fi
+  echo "exported $name: $(basename "$last") ($(du -h "$last" | cut -f1))"
+done
+du -sh artifacts 2>/dev/null
