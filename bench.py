@@ -31,7 +31,60 @@ CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cpu_baseline.json")
 
 
-def build_step(batch):
+def pick_laplacian():
+    """Chip-gates the forward Laplacian: some axon toolchains miscompile it.
+
+    The forward Laplacian is the faster kinetic hot path (BASELINE.md round-1
+    progression), but the 2026-08-18 box miscompiles BOTH the real and pair
+    forward interpreters (runs/probe_forward_real.log: 85 Ha error on-chip;
+    the identical probe passes on CPU at f32 round-off). Benching a
+    miscompiled program would report throughput of wrong numbers, so compare
+    both Laplacians on a tiny batch once and keep "forward" only when it
+    agrees with the batched-tangent path on this backend.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu.models import network as nn
+    from aiqmc_tpu.sampling.init_electrons import init_electrons
+    from aiqmc_tpu.train import _build_local_energy, _build_network
+    from __graft_entry__ import _c_atom_cfg
+
+    def build(laplacian):
+        cfg = config_lib.resolve(_c_atom_cfg(batch_size=32))
+        with cfg.unlocked():
+            cfg.network.hidden_dims = ((32, 16), (32, 16), (32, 16))
+            cfg.network.hidden_dims_ynlm = (8, 8, 8)
+            cfg.optim.laplacian = laplacian
+        network, _ = _build_network(cfg)
+        return cfg, network, _build_local_energy(cfg, network)
+
+    cfg, network, e_l_default = build("default")
+    _, _, e_l_forward = build("forward")
+    key = jax.random.PRNGKey(0)
+    params = network.init(key)
+    pos, spins_out = init_electrons(
+        key, None, jnp.asarray(cfg.system.atoms),
+        jnp.asarray(cfg.system.charges), jnp.asarray(cfg.system.spins),
+        batch_size=32, init_width=1.0)
+    data = nn.AINetData(positions=pos, spins=spins_out,
+                        atoms=jnp.asarray(cfg.system.atoms),
+                        charges=jnp.asarray(cfg.system.charges))
+    in_axes = (None, 0, nn.AINetData(positions=0, spins=None, atoms=None,
+                                     charges=None))
+    keys = jax.random.split(jax.random.PRNGKey(1), 32)
+    a = np.asarray(jax.jit(jax.vmap(
+        lambda p, k, d: e_l_default(p, k, d)[0], in_axes=in_axes))(
+            params, keys, data))
+    b = np.asarray(jax.jit(jax.vmap(
+        lambda p, k, d: e_l_forward(p, k, d)[0], in_axes=in_axes))(
+            params, keys, data))
+    ok = bool(np.abs(a - b).max() < 5e-4 * max(np.abs(a).max(), 1.0))
+    return "forward" if ok else "default"
+
+
+def build_step(batch, laplacian="forward"):
     import jax
     import jax.numpy as jnp
     from aiqmc_tpu import config as config_lib
@@ -46,7 +99,7 @@ def build_step(batch):
         cfg.mcmc.steps = MCMC_STEPS
         cfg.network.hidden_dims = ((32, 16), (32, 16), (32, 16))
         cfg.network.hidden_dims_ynlm = (8, 8, 8)
-        cfg.optim.laplacian = "forward"
+        cfg.optim.laplacian = laplacian
         # 12-pt icosahedral nonlocal quadrature: identical estimator mean and
         # per-sample variance to the 50-pt rule on a trained network (random
         # per-step rotations make any rule unbiased; measured <V_nl>
@@ -81,7 +134,8 @@ def build_step(batch):
     return jax, step, params, opt_state, data
 
 
-def measure(batch, warmup, timed, prebuilt=None, return_state=False):
+def measure(batch, warmup, timed, prebuilt=None, return_state=False,
+            laplacian="forward"):
     """Times the combined step; returns (walker_steps/s/chip, last_loss).
 
     With return_state=True also returns the LIVE output arrays
@@ -91,7 +145,8 @@ def measure(batch, warmup, timed, prebuilt=None, return_state=False):
     """
     import jax
     import jax.numpy as jnp
-    jax_mod, step, params, opt_state, data = prebuilt or build_step(batch)
+    jax_mod, step, params, opt_state, data = (
+        prebuilt or build_step(batch, laplacian=laplacian))
     key = jax.random.PRNGKey(1)
     for i in range(warmup):
         key, sub = jax.random.split(key)
@@ -114,18 +169,24 @@ def measure(batch, warmup, timed, prebuilt=None, return_state=False):
     return rate, loss_f
 
 
-def cpu_baseline():
-    """Measures (or loads) the same workload's CPU throughput in a subprocess."""
+def cpu_baseline(laplacian="forward"):
+    """Measures (or loads) the same workload's CPU throughput in a subprocess.
+
+    The CPU run uses the SAME Laplacian as the chip run so vs_baseline stays
+    an apples-to-apples workload ratio when the toolchain gate demotes the
+    chip to the batched-tangent path."""
     if os.path.exists(CPU_CACHE):
         with open(CPU_CACHE) as f:
-            return json.load(f)["cpu_steps_per_sec"]
+            cached = json.load(f)
+        if cached.get("laplacian", "forward") == laplacian:
+            return cached["cpu_steps_per_sec"]
     code = (
         "import json,sys\n"
         "sys.path.insert(0, %r)\n"
         "import bench\n"
-        "v, _ = bench.measure(%d, 1, 2)\n"
+        "v, _ = bench.measure(%d, 1, 2, laplacian=%r)\n"
         "print(json.dumps({'cpu_steps_per_sec': v}))\n"
-    ) % (os.path.dirname(os.path.abspath(__file__)), BATCH)
+    ) % (os.path.dirname(os.path.abspath(__file__)), BATCH, laplacian)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -135,7 +196,7 @@ def cpu_baseline():
         line = out.stdout.strip().splitlines()[-1]
         value = json.loads(line)["cpu_steps_per_sec"]
         with open(CPU_CACHE, "w") as f:
-            json.dump({"cpu_steps_per_sec": value}, f)
+            json.dump({"cpu_steps_per_sec": value, "laplacian": laplacian}, f)
         return value
     except Exception:
         return None
@@ -201,8 +262,10 @@ def main():
             rec["last_good"] = last
         print(json.dumps(rec))
         return
-    value, loss = measure(BATCH, WARMUP_ITERS, TIMED_ITERS)
-    cpu = cpu_baseline()
+    laplacian = pick_laplacian()
+    value, loss = measure(BATCH, WARMUP_ITERS, TIMED_ITERS,
+                          laplacian=laplacian)
+    cpu = cpu_baseline(laplacian=laplacian)
     if cpu:
         # North star: >=5x CPU throughput (BASELINE.json); ratio 1.0 == target met.
         vs_baseline = value / (5.0 * cpu)
@@ -213,6 +276,7 @@ def main():
         "value": round(value, 2),
         "unit": "walker-steps/s/chip",
         "vs_baseline": round(vs_baseline, 3),
+        "laplacian": laplacian,
     }))
 
 
