@@ -271,13 +271,18 @@ def main():
         vs_baseline = value / (5.0 * cpu)
     else:
         vs_baseline = 1.0
-    print(json.dumps({
+    rec = {
         "metric": "walker_steps_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "walker-steps/s/chip",
         "vs_baseline": round(vs_baseline, 3),
         "laplacian": laplacian,
-    }))
+    }
+    if laplacian != "forward":
+        rec["note"] = ("forward Laplacian miscompiles on this toolchain "
+                       "(see ROADMAP.md); timed the gated batched-tangent "
+                       "path instead")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
