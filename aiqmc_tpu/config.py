@@ -81,6 +81,7 @@ def default() -> ml_collections.ConfigDict:
             "objective": "vmc",         # vmc | wqmc
             "laplacian_chunk": None,    # coordinates per Laplacian chunk
             "laplacian": "default",     # default | forward (ops/forward_laplacian)
+            "el_chunk": 0,              # walkers per lax.map E_L chunk (0=vmap)
         },
         "network": {
             "hidden_dims": ((32, 16), (32, 16), (32, 16)),

@@ -115,6 +115,46 @@ def _mask_nonfinite(e_l: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(finite, e_l, center)
 
 
+def batch_local_energy_fn(local_energy, el_chunk: int = 0):
+    """Batched E_L evaluation: one vmap, or ``lax.map`` over walker chunks.
+
+    el_chunk > 0 evaluates the batch in chunks of that many walkers inside a
+    sequential ``lax.map``. Two uses: (a) bounding activation memory at large
+    batch x heavy Laplacian, and (b) a different compiled program shape when a
+    toolchain miscompiles the full-batch fused program (ROADMAP.md 2026-08-18:
+    the forward Laplacian; scripts/probe_forward_ladder.py rung F tests this
+    exact shape). The batch must divide evenly.
+    """
+    vmapped = jax.vmap(
+        local_energy,
+        in_axes=(None, 0, AINetData(positions=0, spins=None, atoms=None, charges=None)),
+        out_axes=(0, 0))
+    if not el_chunk:
+        return vmapped
+
+    def batched(params, keys, data):
+        b = data.positions.shape[0]
+        if b % el_chunk:
+            raise ValueError(
+                f"el_chunk={el_chunk} must divide the device batch {b}")
+        n_chunks = b // el_chunk
+        keys_c = keys.reshape(n_chunks, el_chunk, *keys.shape[1:])
+        pos_c = data.positions.reshape(n_chunks, el_chunk,
+                                       *data.positions.shape[1:])
+
+        def one_chunk(args):
+            k, p = args
+            d = AINetData(positions=p, spins=data.spins, atoms=data.atoms,
+                          charges=data.charges)
+            return vmapped(params, k, d)
+
+        out = jax.lax.map(one_chunk, (keys_c, pos_c))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(b, *x.shape[2:]), out)
+
+    return batched
+
+
 def make_loss(network,
               local_energy,
               clip_local_energy: float = 0.0,
@@ -122,7 +162,8 @@ def make_loss(network,
               center_at_clipped_energy: bool = True,
               complex_output: bool = False,
               mask_nonfinite_energy: bool = True,
-              pair_output: bool = False):
+              pair_output: bool = False,
+              el_chunk: int = 0):
     """Builds total_energy(params, key, data) -> (loss, AuxiliaryLossData)
     with the unbiased custom-JVP gradient (ref loss.py:138-272).
 
@@ -130,11 +171,10 @@ def make_loss(network,
     representation — E_L arrives as (batch, 2) columns and ``network`` returns
     the stacked [log|psi|, phase] pair; the gradient formula is the complex
     one (ref loss.py:255-264) expanded into real arithmetic.
+
+    el_chunk: see ``batch_local_energy_fn``.
     """
-    batch_local_energy = jax.vmap(
-        local_energy,
-        in_axes=(None, 0, AINetData(positions=0, spins=None, atoms=None, charges=None)),
-        out_axes=(0, 0))
+    batch_local_energy = batch_local_energy_fn(local_energy, el_chunk)
     batch_network = jax.vmap(network, in_axes=(None, 0, None, None, None), out_axes=0)
 
     @jax.custom_jvp
@@ -226,18 +266,18 @@ def make_wqmc_loss(network,
                    clip_from_median: bool = True,
                    center_at_clipped_energy: bool = True,
                    complex_output: bool = False,
-                   pair_output: bool = False):
+                   pair_output: bool = False,
+                   el_chunk: int = 0):
     """WQMC objective with score-based tangent and outlier mask
     (ref loss.py:275-416).
 
     pair_output: TPU-safe complex representation — E_L is (batch, 2) [Re, Im],
     ``network`` returns stacked [log|psi|, phase]; the score and guiding use
     log|psi| (column 0) and the energy term is Re<conj(diff), dpsi>.
+
+    el_chunk: see ``batch_local_energy_fn``.
     """
-    batch_local_energy = jax.vmap(
-        local_energy,
-        in_axes=(None, 0, AINetData(positions=0, spins=None, atoms=None, charges=None)),
-        out_axes=(0, 0))
+    batch_local_energy = batch_local_energy_fn(local_energy, el_chunk)
     batch_network = jax.vmap(network, in_axes=(None, 0, None, None, None), out_axes=0)
 
     @jax.custom_jvp

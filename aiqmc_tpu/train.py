@@ -460,6 +460,7 @@ def _make_training_components(cfg, network, batch_size: int,
         clip_from_median=cfg.optim.clip_from_median,
         center_at_clipped_energy=cfg.optim.center_at_clipped_energy,
         complex_output=complex_output,
+        el_chunk=int(cfg.optim.get("el_chunk", 0) or 0),
         **loss_kwargs)
 
     mc_step = _build_mcmc(cfg, network, batch_size)

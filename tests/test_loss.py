@@ -70,3 +70,45 @@ def test_loss_variance_reported():
     loss_val, aux = total_energy({"theta": jnp.asarray(0.1)}, key, data)
     e_l = np.asarray(aux.local_energy)
     np.testing.assert_allclose(float(aux.variance), e_l.var(), rtol=1e-5)
+
+
+def test_el_chunk_matches_vmap():
+    """lax.map-chunked E_L must reproduce the full-vmap loss AND gradient.
+
+    el_chunk is both a memory bound and the workaround program shape for
+    toolchains that miscompile the full-batch fused Laplacian program
+    (probe_forward_ladder.py rung F)."""
+    network, local_energy = _toy_setup()
+    kwargs = dict(clip_local_energy=1.0, complex_output=False)
+    loss_full = loss_lib.make_loss(network, local_energy, **kwargs)
+    loss_chunk = loss_lib.make_loss(network, local_energy, el_chunk=16,
+                                    **kwargs)
+    batch = 64
+    key = jax.random.PRNGKey(3)
+    pos = jax.random.normal(key, (batch, 6))
+    data = AINetData(positions=pos, spins=jnp.ones((2,)),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.ones((1,)))
+    params = {"theta": jnp.asarray(0.3)}
+    (l_a, aux_a), g_a = jax.value_and_grad(loss_full, has_aux=True)(
+        params, key, data)
+    (l_b, aux_b), g_b = jax.value_and_grad(loss_chunk, has_aux=True)(
+        params, key, data)
+    np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_a.local_energy),
+                               np.asarray(aux_b.local_energy), rtol=1e-6)
+    np.testing.assert_allclose(float(g_a["theta"]), float(g_b["theta"]),
+                               rtol=1e-5)
+
+
+def test_el_chunk_requires_divisible_batch():
+    network, local_energy = _toy_setup()
+    loss_chunk = loss_lib.make_loss(network, local_energy, el_chunk=48)
+    pos = jnp.zeros((64, 6))
+    data = AINetData(positions=pos, spins=jnp.ones((2,)),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.ones((1,)))
+    try:
+        loss_chunk({"theta": jnp.asarray(0.3)}, jax.random.PRNGKey(0), data)
+    except ValueError as e:
+        assert "el_chunk" in str(e)
+    else:
+        raise AssertionError("expected ValueError on non-divisible batch")
