@@ -177,15 +177,27 @@ def main():
                             float(d.max()))
             ok = med < med_tol and p90 < p90_tol
             all_ok &= ok
-            worst = int(np.argmax(d))
+            # d may be (batch,) or (batch, 2) for complex-pair E_L.
+            worst = int(np.unravel_index(np.argmax(d), d.shape)[0])
             print("%s %-6s med %.2e (tol %.0e)  p90 %.2e (tol %.0e)  "
                   "max %.2e @w%d(node prox %+.1f) -> %s"
                   % (mode, name, med, med_tol, p90, p90_tol, mx, worst,
                      ref_log[worst] - med_log, "PASS" if ok else "FAIL"))
-        d_mean = abs(float(np.mean(here["el"])) - float(np.mean(ref["el"])))
+        # "What training sees": the loss clips E_L to median +- 5*MAD before
+        # averaging, so compare CLIPPED batch means (a single near-node
+        # walker otherwise dominates the raw mean — observed 1.84 Ha at a
+        # walker 10.5 log-units below the median |psi|).
+        ref_el = np.asarray(ref["el"], np.float64)  # (batch,) or (batch, 2)
+        center = np.median(ref_el, axis=0)
+        dev = np.mean(np.abs(ref_el - center), axis=0)
+        lo, hi = center - 5 * dev, center + 5 * dev
+        m_here = np.mean(np.clip(np.asarray(here["el"], np.float64), lo, hi),
+                         axis=0)
+        m_ref = np.mean(np.clip(ref_el, lo, hi), axis=0)
+        d_mean = float(np.max(np.abs(m_here - m_ref)))
         ok = d_mean < 0.05
         all_ok &= ok
-        print("%s batch-mean E_L diff = %.3e Ha (tol 5e-02) -> %s"
+        print("%s clipped batch-mean E_L diff = %.3e Ha (tol 5e-02) -> %s"
               % (mode, d_mean, "PASS" if ok else "FAIL"))
     print()
     print("CROSS-DEVICE %s" % ("PASS: this backend reproduces CPU local "
