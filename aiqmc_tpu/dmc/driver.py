@@ -25,8 +25,43 @@ from aiqmc_tpu.utils import writers
 
 
 def estimate_energy(energy_data: jnp.ndarray, weights_data: jnp.ndarray):
-    """Weighted average over recorded blocks (ref DMC/estimate_energy.py:4-5)."""
-    return jnp.sum(energy_data * weights_data) / jnp.sum(weights_data)
+    """Weighted average over recorded blocks (ref DMC/estimate_energy.py:4-5).
+
+    Entries with non-finite energy or weight carry zero weight: walkers at
+    |psi| ~ 0 produce E_L = inf/NaN by design (the pair GE returns -inf
+    logabs for psi = 0) and are killed by reweight_walkers, but their
+    recorded per-walker energies would otherwise turn the block estimate —
+    and through E_trial feedback the whole run — into NaN."""
+    e = jnp.real(energy_data)
+    ok = jnp.isfinite(e) & jnp.isfinite(weights_data)
+    w = jnp.where(ok, weights_data, 0.0)
+    return jnp.sum(jnp.where(ok, e, 0.0) * w) / jnp.sum(w)
+
+
+def robust_init_stats(e_l: np.ndarray):
+    """(E_init, sigma) from per-walker local energies, outlier-robust.
+
+    Walkers near |psi| ~ 0 give arbitrarily large |E_L| (heavy tails, even
+    non-finite); a plain mean/std there inflates sigma by orders of magnitude,
+    which makes branchcut = 10 sigma useless and lets the E_trial feedback
+    spiral (observed: diamond fixed-phase DMC, weights -> 1e10 in 2 blocks on
+    CPU, NaN on chip). Median/MAD centre + stats over the
+    |E - med| < 10 * 1.4826 MAD window; falls back to plain mean/std when MAD
+    is degenerate (e.g. all energies identical)."""
+    e = np.asarray(e_l, dtype=np.float64)
+    e = e[np.isfinite(e)]
+    if e.size == 0:
+        raise ValueError(
+            "DMC init: every restored walker has non-finite local energy — "
+            "the trial/checkpoint pairing is wrong (network sizing or twist "
+            "mismatch?)")
+    med = np.median(e)
+    mad = np.median(np.abs(e - med))
+    if mad > 0:
+        kept = e[np.abs(e - med) < 10 * 1.4826 * mad]
+    else:
+        kept = e
+    return float(kept.mean()), float(max(kept.std(), 1e-12))
 
 
 def main(atoms,
@@ -153,11 +188,13 @@ def main(atoms,
     total_e = jax.jit(calculate_total_energy(localenergy,
                                              pair_output=pair_output))
     key, subkey = jax.random.split(key)
-    _, (e_init, var_init) = total_e(params, subkey, data)
-    e_trial = e_init
-    e_est = e_init
-    esigma = jnp.sqrt(var_init.real)
-    logging.info("DMC initial energy %s, sigma %s", e_init, esigma)
+    e_l_init, _ = total_e(params, subkey, data)
+    e_init, esigma = robust_init_stats(np.asarray(jnp.real(e_l_init)))
+    # f32 jnp scalars from the start so the jitted step sees the same
+    # (dtype, weak_type) signature on every call (block updates produce f32).
+    e_trial = jnp.float32(e_init)
+    e_est = jnp.float32(e_init)
+    logging.info("DMC initial energy %s, sigma %s (robust)", e_init, esigma)
 
     # NOT wrapped in an outer jit: dmc_propagate dispatches its
     # stages as separate compiled programs (see dmc/propagate.py).
@@ -195,7 +232,16 @@ def main(atoms,
                 energy, weights, data = dmc_run(
                     params, subkey, data, weights, branchcut_start * esigma,
                     e_trial, e_est)
-                energy_acc.append(np.asarray(energy.real))
+                # Accumulate with the SAME clamp window the S-matrix uses:
+                # heavy E_L tails near |psi| ~ 0 would otherwise let a single
+                # walker drag the block estimate (and through it E_trial) by
+                # hundreds of Ha. Non-finite energies pass through; their
+                # walkers were killed (weight 0) so estimate_energy drops them.
+                e_arr = np.asarray(energy.real, dtype=np.float64)
+                cut = float(branchcut_start * esigma)
+                e_arr = float(e_est) - np.clip(float(e_est) - e_arr,
+                                               -cut, cut)
+                energy_acc.append(e_arr)
                 weight_acc.append(np.asarray(weights))
             energy_block = jnp.asarray(np.stack(energy_acc))
             weight_block = jnp.asarray(np.stack(weight_acc))
@@ -205,7 +251,10 @@ def main(atoms,
 
             key, subkey = jax.random.split(key)
             data, weights, _ = jit_branch(data, weights, subkey)
-            e_trial = e_est - feedback * jnp.log(jnp.mean(weights)).real
+            # Floor the population weight so a (pathological) all-killed
+            # population cannot turn E_trial into +inf through log(0).
+            e_trial = e_est - feedback * jnp.log(
+                jnp.maximum(jnp.mean(weights), 1e-30)).real
 
             writer.write(block, block=block, energy=block_energies[-1],
                          weight=float(np.asarray(jnp.mean(weights))))

@@ -53,11 +53,39 @@ def calculate_total_energy(local_energy, pair_output: bool = False):
         e_l, _ = batch_local_energy(params, keys, data)
         if pair_output:
             e_l = e_l[..., 0]
-        mean = jnp.mean(e_l)
-        variance = jnp.mean(jnp.abs(e_l - mean) ** 2)
+        # Walkers at |psi| ~ 0 legitimately produce non-finite E_L (the pair
+        # GE returns logabs = -inf for psi = 0); mask them out of the summary
+        # statistics exactly like the VMC loss does — one bad walker must not
+        # poison E_init/E_trial/sigma for the whole run (observed: all-NaN
+        # blocks from block 0 on the diamond fixed-phase DMC).
+        ok = jnp.isfinite(jnp.abs(e_l))
+        n_ok = jnp.maximum(jnp.sum(ok), 1)
+        mean = jnp.sum(jnp.where(ok, e_l, 0)) / n_ok
+        variance = jnp.sum(jnp.where(ok, jnp.abs(e_l - mean) ** 2, 0)) / n_ok
         return e_l, (mean, variance)
 
     return total_energy
+
+
+def reweight_walkers(weights, tdamp, v_old, v_new, eloc_old, eloc_new,
+                     branchcut, e_trial, e_est, tstep: float, nelec: int):
+    """S-matrix weight multiplier (ref DMC/dmc.py:86-92), per walker.
+
+    Walkers whose local energy (either side of the move) or whose multiplier
+    is non-finite are KILLED (weight -> 0) rather than allowed to poison the
+    population: E_L = +-inf/NaN means the walker crossed into |psi| ~ 0
+    territory, the fixed-node/fixed-phase death zone; the next branching comb
+    respawns from healthy walkers."""
+    s_old = comput_S(e_trial=e_trial, e_est=e_est, branchcut=branchcut,
+                     v2=jnp.square(v_old), tau=tstep, eloc=eloc_old,
+                     nelec=nelec)
+    s_new = comput_S(e_trial=e_trial, e_est=e_est, branchcut=branchcut,
+                     v2=jnp.square(v_new), tau=tstep, eloc=eloc_new,
+                     nelec=nelec)
+    wmult = jnp.exp(tstep * tdamp * (0.5 * s_new + 0.5 * s_old))
+    ok = (jnp.isfinite(jnp.real(eloc_old)) & jnp.isfinite(jnp.real(eloc_new))
+          & jnp.isfinite(wmult))
+    return jnp.where(ok, wmult * weights, 0.0)
 
 
 def build_dmc_local_energy(signed_network, charges, spins, Rn_local,
@@ -205,15 +233,10 @@ def dmc_propagate(signed_network,
 
     def reweight(weights, tdamp, v_old, v_new, eloc_old, eloc_new,
                  branchcut_start, e_trial, e_est):
-        """Program 3: S-matrix weight multiplier (ref DMC/dmc.py:86-92)."""
-        s_old = comput_S(e_trial=e_trial, e_est=e_est,
-                         branchcut=branchcut_start, v2=jnp.square(v_old),
-                         tau=tstep, eloc=eloc_old, nelec=nelectrons)
-        s_new = comput_S(e_trial=e_trial, e_est=e_est,
-                         branchcut=branchcut_start, v2=jnp.square(v_new),
-                         tau=tstep, eloc=eloc_new, nelec=nelectrons)
-        wmult = jnp.exp(tstep * tdamp * (0.5 * s_new + 0.5 * s_old))
-        return wmult * weights
+        """Program 3: S-matrix reweighting (module-level reweight_walkers)."""
+        return reweight_walkers(weights, tdamp, v_old, v_new, eloc_old,
+                                eloc_new, branchcut_start, e_trial, e_est,
+                                tstep=tstep, nelec=nelectrons)
 
     if fused:
         @jax.jit

@@ -231,6 +231,21 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
     return network, (up, down)
 
 
+def network_from_config(cfg) -> nn.Network:
+    """The EXACT network ``train(cfg)`` builds — including twist wrapping,
+    plugin hooks and every behaviour flag (bounded_envelope,
+    regular_harmonics, ...).
+
+    Eval/DMC drivers MUST build their trial through this (not a hand-rolled
+    make_ai_net call): several flags change the wavefunction without changing
+    the param tree, so a mismatched reconstruction restores cleanly and then
+    silently evaluates a different ansatz (observed: the diamond fixed-phase
+    DMC rebuilt with make_ai_net defaults — bounded_envelope/regular_harmonics
+    False vs the trained True — giving E_L tails of 1e4 Ha and NaN blocks)."""
+    config_lib.resolve(cfg)
+    return _build_network(cfg)[0]
+
+
 def _build_local_energy(cfg, network):
     complex_output, pair_output = _effective_complex(cfg)
     laplacian_method = cfg.optim.get("laplacian", "default")

@@ -7,12 +7,17 @@ the bigger trial is the close-the-gap measurement (exact ccECP C: -5.434 Ha).
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
-       scripts/run_c_ccecp_dmc_big.py <vmc_ckpt_dir> [blocks] [iters] [save] [tau]
+       scripts/run_c_ccecp_dmc_big.py <vmc_ckpt_dir> [blocks] [iters] [save] \
+           [tau] [h_stream]
+
+h_stream must match the trial's VMC script: "ainet" (run_c_ccecp_kfac_big)
+or "ferminet" (run_c_ccecp_kfac_fstream).
 """
 import sys
 
 import numpy as np
 
+from aiqmc_tpu import train as train_lib
 from aiqmc_tpu.configs import c_atom_ccecp as c
 from aiqmc_tpu.dmc import driver
 
@@ -21,6 +26,7 @@ nblocks = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 iters = int(sys.argv[3]) if len(sys.argv) > 3 else 40
 save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c_dmc_big"
 tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
+h_stream = sys.argv[6] if len(sys.argv) > 6 else "ainet"
 
 # Auto-detect Polyak-averaged params: if the VMC run tracked an EMA
 # (cfg.optim.ema_decay > 0), run DMC from the averaged trial.
@@ -33,8 +39,20 @@ if _last:
                    in np.load(f, allow_pickle=False).files)
 print("trial checkpoint:", _last, "use_ema:", use_ema)
 
+# Trial built through the SAME config path as the VMC run (sizing mirrors
+# run_c_ccecp_kfac_big / run_c_ccecp_kfac_fstream) so every behaviour flag —
+# not just the param tree — matches the checkpoint.
+cfg = c.get_config()
+with cfg.unlocked():
+    cfg.system.spins = np.array([1.0, 1.0, 1.0, -1.0])
+    cfg.network.hidden_dims = ((256, 32),) * 4
+    cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)
+    cfg.network.determinants = 16
+    cfg.network.h_stream = h_stream
+network = train_lib.network_from_config(cfg)
+
 energies, data, weights = driver.main(
-    use_ema=use_ema,
+    use_ema=use_ema, network=network,
     atoms=np.zeros((1, 3)), charges=np.array([4.0]),
     spins=np.array([1.0, 1.0, 1.0, -1.0]),
     tstep=tstep, nelectrons=4, nsteps=10, natoms=1, ndim=3,
@@ -43,13 +61,7 @@ energies, data, weights = driver.main(
     Rn_local=c.RN_LOCAL, Local_coes=c.LOCAL_COES, Local_exps=c.LOCAL_EXPS,
     Rn_non_local=c.RN_NON_LOCAL, Non_local_coes=c.NON_LOCAL_COES,
     Non_local_exps=c.NON_LOCAL_EXPS, list_l=2, use_tmoves=True,
-    quadrature="icosahedral12",
-    network_kwargs=dict(
-        hidden_dims=((256, 32),) * 4,
-        hidden_dims_Ynlm=(16, 16, 16, 16), determinants=16,
-        full_equivariance=True, complex_orbitals=False,
-        bounded_envelope=True, regular_harmonics=True,
-        jastrow_ae=False))
+    quadrature="icosahedral12")
 
 e = np.asarray(energies)
 half = e[len(e) // 2:]

@@ -10,12 +10,11 @@ Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
 """
 import sys
 
-import jax.numpy as jnp
 import numpy as np
 
+from aiqmc_tpu import train as train_lib
 from aiqmc_tpu.configs import c_atom_ccecp as c
 from aiqmc_tpu.dmc import driver
-from aiqmc_tpu.models import psiformer, spin_indices
 
 restore = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/c_psiformer"
 nblocks = int(sys.argv[2]) if len(sys.argv) > 2 else 60
@@ -32,15 +31,20 @@ if _last:
                    in np.load(f, allow_pickle=False).files)
 print("trial checkpoint:", _last, "use_ema:", use_ema)
 
+# Trial built through the SAME config path as the VMC run (a hand-rolled
+# make_psiformer call here once diverged on rescale_inputs, whose default
+# differs from the config's — same param tree, different wavefunction).
 spins = np.array([1.0, 1.0, 1.0, -1.0])
-par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, 4)
-up, down = spin_indices.spin_indices_h(spins)
-network = psiformer.make_psiformer(
-    nspins=(3, 1), charges=jnp.array([4.0]), parallel_indices=par,
-    antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
-    n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=1, nelectrons=4,
-    determinants=16, num_layers=4, num_heads=4, heads_dim=32,
-    mlp_hidden_dims=(256,))
+cfg = c.get_config()
+with cfg.unlocked():
+    cfg.system.spins = spins
+    cfg.network.network_type = "psiformer"
+    cfg.network.psiformer.num_layers = 4
+    cfg.network.psiformer.num_heads = 4
+    cfg.network.psiformer.heads_dim = 32
+    cfg.network.psiformer.mlp_hidden_dims = (256,)
+    cfg.network.determinants = 16
+network = train_lib.network_from_config(cfg)
 
 energies, data, weights = driver.main(
     use_ema=use_ema, network=network,

@@ -16,13 +16,11 @@ Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
 """
 import sys
 
-import jax.numpy as jnp
 import numpy as np
 
+from aiqmc_tpu import train as train_lib
 from aiqmc_tpu.configs import diamond_ccecp
 from aiqmc_tpu.dmc import driver
-from aiqmc_tpu.models import network as nn_lib, spin_indices
-from aiqmc_tpu.pbc import twist as twist_lib
 
 restore = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/diamond_twist_a"
 tw = (tuple(float(x) for x in sys.argv[2:5])
@@ -32,25 +30,26 @@ iters = int(sys.argv[6]) if len(sys.argv) > 6 else 40
 save = sys.argv[7] if len(sys.argv) > 7 else "/root/repo/runs/diamond_dmc"
 tstep = float(sys.argv[8]) if len(sys.argv) > 8 else 0.01
 
+# Config overrides mirror scripts/run_diamond_ccecp.py; the network itself is
+# built by train.network_from_config so the trial is BIT-IDENTICAL to the one
+# the VMC checkpoint was trained on (a hand-rolled make_ai_net call here once
+# silently diverged on bounded_envelope/regular_harmonics -> NaN DMC).
 cfg = diamond_ccecp.get_config()
+with cfg.unlocked():
+    cfg.network.hidden_dims = ((64, 16),) * 3
+    cfg.network.hidden_dims_ynlm = (16, 16, 16)
+    cfg.network.determinants = 4
+    cfg.network.pbc_smooth_r = True
+    cfg.system.twist = tw
+    if any(t != 0.0 for t in tw):
+        cfg.network.complex_orbitals = True
+        cfg.network.complex_pairs = True
 spins = np.asarray(cfg.system.spins)
 nel = spins.size
 atoms = np.asarray(cfg.system.atoms)
 charges = np.asarray(cfg.system.charges)
 lattice = np.asarray(cfg.system.structure)
-par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nel)
-up, down = spin_indices.spin_indices_h(spins)
-# Sizing mirrors scripts/run_diamond_ccecp.py.
-base = nn_lib.make_ai_net(
-    nspins=(4, 4), charges=jnp.asarray(charges), parallel_indices=par,
-    antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
-    n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=2,
-    nelectrons=nel, determinants=4, hidden_dims=((64, 16),) * 3,
-    hidden_dims_Ynlm=(16, 16, 16), full_equivariance=True, jastrow_ae=False,
-    complex_orbitals=True, complex_pairs=True, lattice=lattice,
-    pbc_smooth_r=True)
-network = twist_lib.apply_twist(base, lattice, tw) \
-    if any(t != 0.0 for t in tw) else base
+network = train_lib.network_from_config(cfg)
 
 pp = cfg.system.pp
 energies, data, weights = driver.main(

@@ -452,3 +452,52 @@ def test_tmoves_lattice_translation_invariance():
     np.testing.assert_array_equal(np.asarray(moved), np.asarray(moved_s))
     np.testing.assert_allclose(np.asarray(new_pos_s - new_pos),
                                np.asarray(shift), atol=2e-4)
+
+
+def test_total_energy_masks_nonfinite_walkers():
+    """One walker at |psi|=0 (E_L = -inf/NaN) must not poison E_init/sigma —
+    the diamond fixed-phase DMC NaN'd from block 0 through exactly this."""
+    from aiqmc_tpu.dmc import propagate
+
+    el_table = jnp.array([-1.0, -1.2, jnp.nan, -0.8])
+
+    def local_energy(params, key, data):
+        i = jnp.asarray(data.positions[0], dtype=jnp.int32)
+        return el_table[i], None
+
+    total_e = propagate.calculate_total_energy(local_energy)
+    data = AINetData(positions=jnp.arange(4.0).reshape(4, 1),
+                     spins=jnp.array([1.0]), atoms=jnp.zeros((1, 3)),
+                     charges=jnp.ones((1,)))
+    e_l, (mean, var) = total_e(None, jax.random.PRNGKey(0), data)
+    assert np.isnan(np.asarray(e_l)[2])  # per-walker values stay raw
+    np.testing.assert_allclose(float(mean), -1.0, rtol=1e-6)
+    assert np.isfinite(float(var))
+
+
+def test_reweight_kills_nonfinite_walkers():
+    from aiqmc_tpu.dmc.propagate import reweight_walkers
+
+    n = 4
+    weights = jnp.ones((n,))
+    tdamp = jnp.ones((n,))
+    v = jnp.zeros((n, 6))
+    eloc_old = jnp.array([-1.0, -1.0, jnp.nan, -1.0])
+    eloc_new = jnp.array([-1.0, jnp.inf, -1.0, -1.0])
+    out = reweight_walkers(weights, tdamp, v, v, eloc_old, eloc_new,
+                           branchcut=10.0, e_trial=-1.0, e_est=-1.0,
+                           tstep=0.01, nelec=2)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    # NaN and +-inf walkers die (|psi| ~ 0 death zone); healthy ones survive
+    assert out[1] == 0.0 and out[2] == 0.0
+    assert out[0] > 0.0 and out[3] > 0.0
+
+
+def test_estimate_energy_masks_nonfinite_entries():
+    from aiqmc_tpu.dmc import driver
+
+    e = jnp.array([[-1.0, jnp.nan], [-1.0, jnp.inf]])
+    w = jnp.array([[1.0, 1.0], [1.0, 1.0]])
+    np.testing.assert_allclose(float(driver.estimate_energy(e, w)), -1.0,
+                               rtol=1e-6)
