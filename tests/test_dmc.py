@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aiqmc_tpu.dmc import branch as branch_lib
 from aiqmc_tpu.dmc import s_matrix
@@ -501,3 +502,21 @@ def test_estimate_energy_masks_nonfinite_entries():
     w = jnp.array([[1.0, 1.0], [1.0, 1.0]])
     np.testing.assert_allclose(float(driver.estimate_energy(e, w)), -1.0,
                                rtol=1e-6)
+
+
+def test_robust_init_stats():
+    from aiqmc_tpu.dmc.driver import robust_init_stats
+
+    rng = np.random.RandomState(0)
+    e = rng.normal(-5.4, 0.3, size=2048)
+    e[:4] = [1e4, -1e4, np.inf, np.nan]   # |psi|~0 tail + non-finite walkers
+    mean, sigma = robust_init_stats(e)
+    assert abs(mean - (-5.4)) < 0.05
+    assert abs(sigma - 0.3) < 0.05        # a plain std here would be ~220
+
+    # Degenerate MAD (all energies identical) falls back to plain stats.
+    mean, sigma = robust_init_stats(np.full(16, -2.0))
+    assert mean == -2.0 and sigma > 0
+
+    with pytest.raises(ValueError, match="non-finite"):
+        robust_init_stats(np.array([np.nan, np.inf]))
