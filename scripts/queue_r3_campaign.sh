@@ -79,4 +79,13 @@ fi
 run_stage c_dmc_campaign 5400 python -u scripts/run_c_ccecp_dmc_big.py \
   "$TRIAL" 60 40 /root/repo/runs/c_dmc_campaign 0.02
 
+# Reference-flagship-molecule arm (its committed DMC example IS C2): rebuild
+# the C2 VMC trial (the round-2 checkpoint died in the box swap) and DMC it.
+# run_stage skips these automatically when the budget is spent.
+run_stage c2_kfac_r3 7200 python -u scripts/run_c2_ccecp_kfac.py 9000 \
+  /root/repo/runs/c2_kfac
+run_stage c2_dmc_r3 4500 python -u scripts/run_c2_ccecp_dmc.py \
+  /root/repo/runs/c2_kfac 60 40 /root/repo/runs/c2_dmc 0.02
+
+bash scripts/export_artifacts.sh >> "$Q" 2>&1
 echo "=== queue_r3_campaign finished $(date) ===" >> "$Q"

@@ -1,0 +1,72 @@
+"""C2 dimer ccECP DMC from the run_c2_ccecp_kfac.py trial — the reference's
+own committed DMC example IS C2 (ref AIQMCrelease2/example/C2/restore_DMC/
+DMC_states.csv: blocks -4.12, -4.10 Ha — an unconverged transient at the
+wrong scale; 8 valence electrons sit near -11 Ha), so a converged C2 DMC
+number completes BASELINE config #4 on the reference's flagship molecule.
+
+The trial is rebuilt through train.network_from_config (bit-identical to the
+VMC training network; hand-rolled rebuilds silently diverge on behaviour
+flags — see the diamond DMC NaN post-mortem in BASELINE.md).
+
+Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
+       PYTHONPATH=/root/repo:/root/.axon_site python -u \
+       scripts/run_c2_ccecp_dmc.py <vmc_ckpt_dir> [blocks] [iters] [save] [tau]
+"""
+import sys
+
+import numpy as np
+
+from aiqmc_tpu import train as train_lib
+from aiqmc_tpu.configs import c2_ccecp
+from aiqmc_tpu.dmc import driver
+
+restore = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/c2_kfac"
+nblocks = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+iters = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c2_dmc"
+tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
+
+# Auto-detect Polyak-averaged params (cfg.optim.ema_decay > 0 in the VMC run).
+from aiqmc_tpu import checkpoint as ckpt_lib
+_last = ckpt_lib.find_last_checkpoint(restore)
+use_ema = False
+if _last:
+    with open(_last, "rb") as f:
+        use_ema = ("extra_" + ckpt_lib.EMA_EXTRA_KEY
+                   in np.load(f, allow_pickle=False).files)
+print("trial checkpoint:", _last, "use_ema:", use_ema)
+
+# Sizing mirrors scripts/run_c2_ccecp_kfac.py.
+cfg = c2_ccecp.get_config()
+with cfg.unlocked():
+    cfg.network.hidden_dims = ((128, 32),) * 4
+    cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)
+    cfg.network.determinants = 8
+network = train_lib.network_from_config(cfg)
+
+atoms = np.asarray(cfg.system.atoms)
+charges = np.asarray(cfg.system.charges)
+spins = np.asarray(cfg.system.spins)
+pp = cfg.system.pp
+energies, data, weights = driver.main(
+    use_ema=use_ema, network=network,
+    atoms=atoms, charges=charges, spins=spins,
+    tstep=tstep, nelectrons=spins.size, nsteps=10, natoms=2, ndim=3,
+    batch_size=2048, iterations=iters, nblocks=nblocks, feedback=1.0,
+    nspins=(4, 4), save_path=save, restore_path=restore, save_frequency=10.0,
+    Rn_local=np.asarray(pp.rn_local), Local_coes=np.asarray(pp.local_coes),
+    Local_exps=np.asarray(pp.local_exps),
+    Rn_non_local=np.asarray(pp.rn_non_local),
+    Non_local_coes=np.asarray(pp.non_local_coes),
+    Non_local_exps=np.asarray(pp.non_local_exps), list_l=2, use_tmoves=True,
+    quadrature="icosahedral12")
+
+e = np.asarray(energies)
+half = e[len(e) // 2:]
+print("DMC blocks:", np.array2string(e, precision=4))
+print("FINAL second-half mean %.5f +- %.5f Ha"
+      % (half.mean(), half.std() / np.sqrt(len(half))))
+from aiqmc_tpu.utils.analysis_tools import robust_block_stats
+rs = robust_block_stats(half)
+print("FINAL robust second-half %.5f +- %.5f Ha (median %.5f, %d/%d kept)"
+      % (rs["mean"], rs["stderr"], rs["median"], rs["nblocks"], len(half)))
