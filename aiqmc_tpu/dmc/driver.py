@@ -99,7 +99,9 @@ def main(atoms,
          convergence_radius: int = 5,
          complex_output: Optional[bool] = None,
          pair_output: bool = False,
-         phase_kill: Optional[bool] = None):
+         phase_kill: Optional[bool] = None,
+         laplacian: str = "default",
+         twist=None):
     """Runs DMC; returns (per-block energies, final data, final weights).
 
     Fixed-phase / periodic extensions (beyond the reference's real molecular
@@ -111,6 +113,13 @@ def main(atoms,
     Re psi-ratios). ``phase_kill`` defaults to the
     fixed-node rejection for real trials and OFF for pair trials (smooth
     phase; set it explicitly for twisted-REAL trials, which keep nodes).
+
+    ``laplacian="forward"`` uses the forward-Laplacian kinetic for BOTH E_L
+    evaluations of every step (~2x step-time on ECP systems) — pass it only
+    after scripts/probe_forward_real.py (real trials) or probe_forward_pair.py
+    (pair trials; also pass ``twist=`` the fractional twist so the plane-wave
+    boost enters the kinetic analytically) passes on the current chip
+    toolchain, mirroring the VMC scripts' gate.
     """
     del structure
     logging.info("Diffusion Quantum Monte Carlo start")
@@ -174,6 +183,27 @@ def main(atoms,
     def _maybe(x):
         return None if x is None else jnp.asarray(x)
 
+    # Forward-Laplacian kinetic (train._build_local_energy's guard mirrored):
+    # covers real and (re,im)-pair trials; the true complex-dtype path falls
+    # back to batched tangents. network.orbitals is boost-free, so twisted
+    # trials need the twist wavevector folded in analytically.
+    laplacian_method = laplacian
+    if complex_output and not pair_output:
+        laplacian_method = "default"
+    orbitals_fn = None
+    twist_k = None
+    if laplacian_method == "forward":
+        orbitals_fn = network.orbitals
+        if orbitals_fn is None:
+            raise ValueError(
+                "laplacian='forward' needs a network exposing .orbitals "
+                "(the prebuilt Network passed in lacks one)")
+        if (lattice is not None and twist is not None
+                and np.any(np.asarray(twist, dtype=float) != 0.0)):
+            from aiqmc_tpu.pbc import twist as twist_lib
+            twist_k = twist_lib.twist_wavevector(
+                np.asarray(lattice), np.asarray(twist, dtype=float))
+
     localenergy = build_dmc_local_energy(
         signed_network=signed_network, charges=jnp.asarray(charges),
         spins=tuple(nspins), Rn_local=_maybe(Rn_local),
@@ -184,7 +214,8 @@ def main(atoms,
         nelectrons=nelectrons, ndim=ndim, list_l=list_l,
         complex_output=complex_output, pair_output=pair_output,
         lattice=_maybe(lattice), convergence_radius=convergence_radius,
-        quadrature=quadrature)
+        quadrature=quadrature, laplacian_method=laplacian_method,
+        orbitals_fn=orbitals_fn, twist_k=twist_k)
     total_e = jax.jit(calculate_total_energy(localenergy,
                                              pair_output=pair_output))
     key, subkey = jax.random.split(key)
@@ -211,7 +242,9 @@ def main(atoms,
         complex_output=complex_output, quadrature=quadrature,
         use_tmoves=use_tmoves and Rn_local is not None,
         fused=fused_step, pair_output=pair_output, lattice=_maybe(lattice),
-        convergence_radius=convergence_radius, phase_kill=phase_kill))
+        convergence_radius=convergence_radius, phase_kill=phase_kill,
+        laplacian_method=laplacian_method, orbitals_fn=orbitals_fn,
+        twist_k=twist_k))
     jit_branch = jax.jit(branch)
 
     weights = jnp.ones((batch_size,))

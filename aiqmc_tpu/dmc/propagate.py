@@ -97,11 +97,19 @@ def build_dmc_local_energy(signed_network, charges, spins, Rn_local,
                            pair_output: bool = False,
                            lattice=None,
                            convergence_radius: int = 5,
-                           quadrature: str = "msc50"):
+                           quadrature: str = "msc50",
+                           laplacian_method: str = "default",
+                           orbitals_fn=None,
+                           twist_k=None):
     """Selects the DMC Hamiltonian: molecular all-electron / molecular ccECP
     (refs Energy/hamiltonian.py, Energy/pphamiltonian.py) or, with a lattice,
     the periodic variants (Ewald; + minimum-image ccECP channels when tables
-    are present). Shared by dmc_propagate and the driver's E_init estimate."""
+    are present). Shared by dmc_propagate and the driver's E_init estimate.
+
+    laplacian_method="forward" (+ orbitals_fn, and twist_k for twisted
+    trials) selects the forward-Laplacian kinetic — DMC evaluates E_L twice
+    per step, so this is a ~2x step-time lever; gate it with
+    scripts/probe_forward_{real,pair}.py exactly as the VMC scripts do."""
     all_electron = Rn_local is None
     if lattice is not None and not all_electron:
         from aiqmc_tpu.hamiltonian import pp_pbc
@@ -114,18 +122,22 @@ def build_dmc_local_energy(signed_network, charges, spins, Rn_local,
             complex_output=complex_output,
             convergence_radius=convergence_radius,
             laplacian_chunk=laplacian_chunk, pair_output=pair_output,
-            quadrature=quadrature)
+            laplacian_method=laplacian_method, orbitals_fn=orbitals_fn,
+            twist_k=twist_k, quadrature=quadrature)
     if lattice is not None:
         from aiqmc_tpu.pbc import ewald as ewald_lib
         return ewald_lib.local_energy(
             f=signed_network, charges=charges, nspins=spins, lattice=lattice,
             complex_output=complex_output,
             convergence_radius=convergence_radius,
-            laplacian_chunk=laplacian_chunk, pair_output=pair_output)
+            laplacian_chunk=laplacian_chunk, pair_output=pair_output,
+            laplacian_method=laplacian_method, orbitals_fn=orbitals_fn,
+            twist_k=twist_k)
     if all_electron:
         return ae_local_energy.local_energy(
             f=signed_network, charges=charges, nspins=spins,
             complex_output=complex_output, laplacian_chunk=laplacian_chunk,
+            laplacian_method=laplacian_method, orbitals_fn=orbitals_fn,
             pair_output=pair_output)
     return pp_local_energy.local_energy(
         f=signed_network, lognetwork=None, charges=charges, nspins=spins,
@@ -134,6 +146,7 @@ def build_dmc_local_energy(signed_network, charges, spins, Rn_local,
         non_local_exps=Non_local_exps, natoms=natoms, nelectrons=nelectrons,
         ndim=ndim, list_l=list_l, complex_output=complex_output,
         laplacian_chunk=laplacian_chunk, pair_output=pair_output,
+        laplacian_method=laplacian_method, orbitals_fn=orbitals_fn,
         quadrature=quadrature)
 
 
@@ -163,7 +176,10 @@ def dmc_propagate(signed_network,
                   pair_output: bool = False,
                   lattice=None,
                   convergence_radius: int = 5,
-                  phase_kill: bool = True):
+                  phase_kill: bool = True,
+                  laplacian_method: str = "default",
+                  orbitals_fn=None,
+                  twist_k=None):
     """Builds dmc_propagate_run(params, key, data, weights, branchcut, e_trial,
     e_est) -> (eloc_new, weights, new_data) (ref DMC/dmc.py:72-93).
 
@@ -214,7 +230,8 @@ def dmc_propagate(signed_network,
         ndim=ndim, list_l=list_l, complex_output=complex_output,
         laplacian_chunk=laplacian_chunk, pair_output=pair_output,
         lattice=lattice, convergence_radius=convergence_radius,
-        quadrature=quadrature)
+        quadrature=quadrature, laplacian_method=laplacian_method,
+        orbitals_fn=orbitals_fn, twist_k=twist_k)
     total_e = calculate_total_energy(localenergy, pair_output=pair_output)
 
     def move_walkers(params, key: chex.PRNGKey, data: AINetData):

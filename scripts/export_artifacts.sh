@@ -30,8 +30,14 @@ for name in "${names[@]}"; do
   if [ -z "$last" ]; then echo "skip $name (no checkpoints)"; continue; fi
   mkdir -p "artifacts/$name"
   cp -f "$last" "artifacts/$name/"
+  # train.py REWRITES train_states.csv on restore-and-continue, so suffix the
+  # export with the leg's starting step — successive exports of successive
+  # legs then accumulate instead of clobbering the earlier trace (the bare
+  # train_states.csv.gz name is kept for pre-suffix artifacts).
   if [ -f "$dir/train_states.csv" ]; then
-    gzip -c "$dir/train_states.csv" > "artifacts/$name/train_states.csv.gz"
+    start=$(sed -n 2p "$dir/train_states.csv" | cut -d, -f1)
+    gzip -c "$dir/train_states.csv" \
+      > "artifacts/$name/train_states.t${start:-0}.csv.gz"
   fi
   if [ -f "$dir/DMC_states.csv" ]; then
     gzip -c "$dir/DMC_states.csv" > "artifacts/$name/DMC_states.csv.gz"

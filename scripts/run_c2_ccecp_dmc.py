@@ -10,7 +10,11 @@ flags — see the diamond DMC NaN post-mortem in BASELINE.md).
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
-       scripts/run_c2_ccecp_dmc.py <vmc_ckpt_dir> [blocks] [iters] [save] [tau]
+       scripts/run_c2_ccecp_dmc.py <vmc_ckpt_dir> [blocks] [iters] [save] \
+           [tau] [laplacian]
+
+laplacian: default | forward — "forward" (~2x E_L) only after
+scripts/probe_forward_real.py passes on the current chip toolchain.
 """
 import sys
 
@@ -25,6 +29,7 @@ nblocks = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 iters = int(sys.argv[3]) if len(sys.argv) > 3 else 40
 save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c2_dmc"
 tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
+laplacian = sys.argv[6] if len(sys.argv) > 6 else "default"
 
 # Auto-detect Polyak-averaged params (cfg.optim.ema_decay > 0 in the VMC run).
 from aiqmc_tpu import checkpoint as ckpt_lib
@@ -59,7 +64,7 @@ energies, data, weights = driver.main(
     Rn_non_local=np.asarray(pp.rn_non_local),
     Non_local_coes=np.asarray(pp.non_local_coes),
     Non_local_exps=np.asarray(pp.non_local_exps), list_l=2, use_tmoves=True,
-    quadrature="icosahedral12")
+    quadrature="icosahedral12", laplacian=laplacian)
 
 e = np.asarray(energies)
 half = e[len(e) // 2:]

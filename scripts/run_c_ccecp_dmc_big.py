@@ -8,10 +8,12 @@ the bigger trial is the close-the-gap measurement (exact ccECP C: -5.434 Ha).
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
        scripts/run_c_ccecp_dmc_big.py <vmc_ckpt_dir> [blocks] [iters] [save] \
-           [tau] [h_stream]
+           [tau] [h_stream] [laplacian]
 
 h_stream must match the trial's VMC script: "ainet" (run_c_ccecp_kfac_big)
 or "ferminet" (run_c_ccecp_kfac_fstream).
+laplacian: default | forward — "forward" (~2x E_L) only after
+scripts/probe_forward_real.py passes on the current chip toolchain.
 """
 import sys
 
@@ -27,6 +29,7 @@ iters = int(sys.argv[3]) if len(sys.argv) > 3 else 40
 save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c_dmc_big"
 tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
 h_stream = sys.argv[6] if len(sys.argv) > 6 else "ainet"
+laplacian = sys.argv[7] if len(sys.argv) > 7 else "default"
 
 # Auto-detect Polyak-averaged params: if the VMC run tracked an EMA
 # (cfg.optim.ema_decay > 0), run DMC from the averaged trial.
@@ -61,7 +64,7 @@ energies, data, weights = driver.main(
     Rn_local=c.RN_LOCAL, Local_coes=c.LOCAL_COES, Local_exps=c.LOCAL_EXPS,
     Rn_non_local=c.RN_NON_LOCAL, Non_local_coes=c.NON_LOCAL_COES,
     Non_local_exps=c.NON_LOCAL_EXPS, list_l=2, use_tmoves=True,
-    quadrature="icosahedral12")
+    quadrature="icosahedral12", laplacian=laplacian)
 
 e = np.asarray(energies)
 half = e[len(e) // 2:]

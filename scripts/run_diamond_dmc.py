@@ -12,7 +12,11 @@ complex-pair trials (smooth phase, no nodes).
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
        scripts/run_diamond_dmc.py <vmc_ckpt_dir> [tx ty tz] [blocks] [iters] \
-           [save] [tau]
+           [save] [tau] [laplacian]
+
+laplacian: default | forward — pass "forward" (~2x E_L, which DMC evaluates
+twice per step) ONLY after scripts/probe_forward_pair.py passes on the
+current chip toolchain.
 """
 import sys
 
@@ -29,6 +33,7 @@ nblocks = int(sys.argv[5]) if len(sys.argv) > 5 else 60
 iters = int(sys.argv[6]) if len(sys.argv) > 6 else 40
 save = sys.argv[7] if len(sys.argv) > 7 else "/root/repo/runs/diamond_dmc"
 tstep = float(sys.argv[8]) if len(sys.argv) > 8 else 0.01
+laplacian = sys.argv[9] if len(sys.argv) > 9 else "default"
 
 # Config overrides mirror scripts/run_diamond_ccecp.py; the network itself is
 # built by train.network_from_config so the trial is BIT-IDENTICAL to the one
@@ -64,7 +69,7 @@ energies, data, weights = driver.main(
     Non_local_coes=np.asarray(pp.non_local_coes),
     Non_local_exps=np.asarray(pp.non_local_exps), list_l=2,
     quadrature="icosahedral12", lattice=lattice,
-    complex_output=True, pair_output=True)
+    complex_output=True, pair_output=True, laplacian=laplacian, twist=tw)
 
 e = np.asarray(energies)
 half = e[len(e) // 2:]
