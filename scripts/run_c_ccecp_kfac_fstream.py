@@ -12,10 +12,14 @@ lr-boost/SPRING arms have reported (ROADMAP.md round-3 plan).
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
-       scripts/run_c_ccecp_kfac_fstream.py [iterations] [save_path] [laplacian]
+       scripts/run_c_ccecp_kfac_fstream.py [iterations] [save_path] \
+           [laplacian] [determinants]
 
 laplacian: forward (default) | default — pass "default" when
 scripts/probe_forward_real.py FAILs on the current chip toolchain.
+determinants (default 16): the next structural lever if the arm plateaus
+(ROADMAP) — a different count changes the param tree, so pass a FRESH
+save_path with it (restore would fail).
 """
 import sys
 
@@ -27,6 +31,7 @@ from aiqmc_tpu.configs import c_atom_ccecp
 iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c_kfac_fstream"
 laplacian = sys.argv[3] if len(sys.argv) > 3 else "forward"
+determinants = int(sys.argv[4]) if len(sys.argv) > 4 else 16
 
 cfg = c_atom_ccecp.get_config()
 with cfg.unlocked():
@@ -34,7 +39,7 @@ with cfg.unlocked():
     cfg.batch_size = 4096
     cfg.network.hidden_dims = ((256, 32),) * 4
     cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)
-    cfg.network.determinants = 16
+    cfg.network.determinants = determinants
     cfg.network.h_stream = "ferminet"
     cfg.optim.optimizer = "kfac"
     cfg.optim.laplacian = laplacian
