@@ -8,12 +8,14 @@ the bigger trial is the close-the-gap measurement (exact ccECP C: -5.434 Ha).
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
        scripts/run_c_ccecp_dmc_big.py <vmc_ckpt_dir> [blocks] [iters] [save] \
-           [tau] [h_stream] [laplacian]
+           [tau] [h_stream] [laplacian] [determinants] [width]
 
 h_stream must match the trial's VMC script: "ainet" (run_c_ccecp_kfac_big)
 or "ferminet" (run_c_ccecp_kfac_fstream).
 laplacian: default | forward — "forward" (~2x E_L) only after
 scripts/probe_forward_real.py passes on the current chip toolchain.
+determinants/width (defaults 16/256) must match the VMC trial's sizing
+(run_c_ccecp_kfac_fstream.py argvs) or the restore will fail.
 """
 import sys
 
@@ -30,6 +32,8 @@ save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c_dmc_big"
 tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
 h_stream = sys.argv[6] if len(sys.argv) > 6 else "ainet"
 laplacian = sys.argv[7] if len(sys.argv) > 7 else "default"
+determinants = int(sys.argv[8]) if len(sys.argv) > 8 else 16
+width = int(sys.argv[9]) if len(sys.argv) > 9 else 256
 
 # Auto-detect Polyak-averaged params: if the VMC run tracked an EMA
 # (cfg.optim.ema_decay > 0), run DMC from the averaged trial.
@@ -48,9 +52,9 @@ print("trial checkpoint:", _last, "use_ema:", use_ema)
 cfg = c.get_config()
 with cfg.unlocked():
     cfg.system.spins = np.array([1.0, 1.0, 1.0, -1.0])
-    cfg.network.hidden_dims = ((256, 32),) * 4
+    cfg.network.hidden_dims = ((width, 32),) * 4
     cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)
-    cfg.network.determinants = 16
+    cfg.network.determinants = determinants
     cfg.network.h_stream = h_stream
 network = train_lib.network_from_config(cfg)
 

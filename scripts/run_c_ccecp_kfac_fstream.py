@@ -13,13 +13,14 @@ lr-boost/SPRING arms have reported (ROADMAP.md round-3 plan).
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
        scripts/run_c_ccecp_kfac_fstream.py [iterations] [save_path] \
-           [laplacian] [determinants]
+           [laplacian] [determinants] [width]
 
 laplacian: forward (default) | default — pass "default" when
 scripts/probe_forward_real.py FAILs on the current chip toolchain.
-determinants (default 16): the next structural lever if the arm plateaus
-(ROADMAP) — a different count changes the param tree, so pass a FRESH
-save_path with it (restore would fail).
+determinants (default 16) / width (one-electron stream, default 256): the
+structural levers once an arm plateaus (ROADMAP; published -5.4254 uses a
+2x-wide net) — either changes the param tree, so pass a FRESH save_path
+with them (restore would fail).
 """
 import sys
 
@@ -32,12 +33,13 @@ iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c_kfac_fstream"
 laplacian = sys.argv[3] if len(sys.argv) > 3 else "forward"
 determinants = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+width = int(sys.argv[5]) if len(sys.argv) > 5 else 256
 
 cfg = c_atom_ccecp.get_config()
 with cfg.unlocked():
     cfg.system.spins = np.array([1.0, 1.0, 1.0, -1.0])
     cfg.batch_size = 4096
-    cfg.network.hidden_dims = ((256, 32),) * 4
+    cfg.network.hidden_dims = ((width, 32),) * 4
     cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)
     cfg.network.determinants = determinants
     cfg.network.h_stream = "ferminet"
