@@ -8,8 +8,12 @@ pbc/twist.py real_to_angle; param tree unchanged, so the restore is exact).
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
-       scripts/eval_tabc.py <ckpt_dir> [n_grid] [iterations] [config]
+       scripts/eval_tabc.py <ckpt_dir> [n_grid] [iterations] [config] \
+           [laplacian]
        # config: diamond_ccecp (default) | diamond
+       # laplacian: default | forward — "forward" (pair forward Laplacian,
+       # ~2x kinetic) ONLY after scripts/probe_forward_pair.py passes on
+       # the current chip toolchain.
 """
 import sys
 
@@ -22,6 +26,7 @@ ckpt = sys.argv[1]
 n_grid = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 iterations = int(sys.argv[3]) if len(sys.argv) > 3 else 400
 config_name = sys.argv[4] if len(sys.argv) > 4 else "diamond_ccecp"
+laplacian = sys.argv[5] if len(sys.argv) > 5 else "default"
 
 if config_name == "diamond":
     from aiqmc_tpu.configs import diamond as config_mod
@@ -40,9 +45,7 @@ for i, theta in enumerate(twists):
         cfg.network.pbc_smooth_r = True
         cfg.system.twist = tuple(float(t) for t in theta)
         cfg.optim.optimizer = "none"
-        # Flip to "forward" (pair forward Laplacian, ~2x kinetic) once
-        # scripts/probe_forward_pair.py passes on the chip.
-        cfg.optim.laplacian = "default"
+        cfg.optim.laplacian = laplacian
         cfg.optim.iterations = iterations
         cfg.mcmc.tstep = 0.25
         cfg.mcmc.steps = 10
