@@ -36,6 +36,7 @@ with cfg.unlocked():
     cfg.optim.iterations = iterations
     cfg.optim.kfac.lr.rate = 0.05
     cfg.optim.kfac.lr.delay = 3000.0
+    cfg.optim.ema_decay = 0.999   # Polyak params; run_c2_ccecp_dmc auto-uses
     cfg.pretrain.iterations = 1000
     cfg.mcmc.tstep = 0.25
     cfg.mcmc.steps = 10
