@@ -121,6 +121,23 @@ def ema_from_extra(extra: Optional[dict], params_template):
                                     np.asarray(extra[EMA_EXTRA_KEY]).tobytes())
 
 
+def has_ema(ckpt_dir_or_file) -> bool:
+    """True when the latest checkpoint under ``ckpt_dir_or_file`` (a dir to
+    scan, or a checkpoint file) carries Polyak-averaged params.
+
+    The one-call auto-detection the DMC scripts use ("DMC from the EMA trial
+    whenever the VMC run tracked one") — keep format knowledge here rather
+    than in each script."""
+    import os
+    path = ckpt_dir_or_file
+    if path and os.path.isdir(path):
+        path = find_last_checkpoint(path)
+    if not path or not os.path.exists(path):
+        return False
+    with open(path, "rb") as f:
+        return "extra_" + EMA_EXTRA_KEY in np.load(f, allow_pickle=False).files
+
+
 def _diagnose_param_mismatch(target_params, params_bytes) -> Optional[str]:
     """Human-readable cause when a checkpoint's param tree doesn't match.
 

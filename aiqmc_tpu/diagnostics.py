@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,15 +55,27 @@ def check_normalisable(logabs_network, params, data: AINetData,
     the one-call form of the verify protocol's decay check. Checks every
     electron's ray (any single non-decaying channel ionises the walker)."""
     nelec = np.asarray(data.positions).size // ndim
-    profiles = []
-    ok = True
+    # One jitted vmapped evaluation over all (electron, radius) probes: the
+    # per-probe eager loop dispatched every primitive individually, which on
+    # a remote TPU backend added minutes of startup latency per training leg.
+    base = np.asarray(data.positions, dtype=float)
+    origin = np.asarray(data.atoms, dtype=float)[0]
+    direction = np.array([1.0, 0.0, 0.0])
+    probes = []
     for e in range(nelec):
-        prof = logpsi_decay_profile(logabs_network, params, data, radii,
-                                    electron=e, ndim=ndim)
-        profiles.append(prof)
-        drops = -np.diff(prof) / np.diff(np.asarray(radii, dtype=float))
-        ok = ok and bool(np.all(drops > min_drop_per_bohr))
-    return ok, np.stack(profiles)
+        for r in radii:
+            pos = base.copy()
+            pos[e * ndim:(e + 1) * ndim] = origin + r * direction
+            probes.append(pos)
+    dtype = jnp.asarray(data.positions).dtype
+    batched = jax.jit(jax.vmap(
+        lambda pos: logabs_network(params, pos, data.spins, data.atoms,
+                                   data.charges)))
+    prof = np.asarray(batched(jnp.asarray(np.stack(probes), dtype=dtype)))
+    prof = prof.reshape(nelec, len(radii))
+    drops = -np.diff(prof, axis=1) / np.diff(np.asarray(radii, dtype=float))
+    ok = bool(np.all(drops > min_drop_per_bohr))
+    return ok, prof
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,10 @@ def estimate_energy(energy_data: jnp.ndarray, weights_data: jnp.ndarray):
     e = jnp.real(energy_data)
     ok = jnp.isfinite(e) & jnp.isfinite(weights_data)
     w = jnp.where(ok, weights_data, 0.0)
-    return jnp.sum(jnp.where(ok, e, 0.0) * w) / jnp.sum(w)
+    # Floor the total weight: an all-killed population would otherwise give
+    # 0/0 = NaN here, poisoning E_trial one line before the log-floor guard
+    # in the block loop ever engages.
+    return jnp.sum(jnp.where(ok, e, 0.0) * w) / jnp.maximum(jnp.sum(w), 1e-30)
 
 
 def robust_init_stats(e_l: np.ndarray):
@@ -127,8 +130,13 @@ def main(atoms,
 
     ckpt_save_path = checkpoint_lib.create_save_path(save_path)
     ckpt_restore_path = checkpoint_lib.get_restore_path(restore_path)
+    # A checkpoint in OUR save dir means this is a restart of a killed DMC
+    # run (the wedge-tolerant queues rely on this): its params are already
+    # the trial params (EMA-substituted if use_ema), so the EMA extraction
+    # below must be skipped — DMC checkpoints carry no extras.
+    dmc_restart_filename = checkpoint_lib.find_last_checkpoint(ckpt_save_path)
     ckpt_restore_filename = (
-        checkpoint_lib.find_last_checkpoint(ckpt_save_path) or
+        dmc_restart_filename or
         checkpoint_lib.find_last_checkpoint(ckpt_restore_path))
     if not ckpt_restore_filename:
         raise ValueError("DMC must use the wave function from VMC!")
@@ -162,13 +170,17 @@ def main(atoms,
                                   # the first blocks
     if use_ema:
         # DMC from the Polyak-averaged trial (requires the VMC run to have
-        # set cfg.optim.ema_decay > 0; see train.py EMA tracking).
+        # set cfg.optim.ema_decay > 0; see train.py EMA tracking). On a DMC
+        # restart (EMA-less checkpoint in OUR save dir) the restored params
+        # are already the substituted trial — substituting again is neither
+        # possible nor needed.
         ema_params = checkpoint_lib.ema_from_extra(ckpt_extra, params)
-        if ema_params is None:
+        if ema_params is not None:
+            params = ema_params
+        elif dmc_restart_filename is None:
             raise ValueError(
                 "use_ema: VMC checkpoint carries no EMA params — train with "
                 "cfg.optim.ema_decay > 0")
-        params = ema_params
     data = nn.AINetData(
         positions=jnp.asarray(data.positions), spins=jnp.asarray(data.spins),
         atoms=jnp.asarray(data.atoms), charges=jnp.asarray(data.charges))

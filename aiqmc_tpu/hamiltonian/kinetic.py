@@ -98,3 +98,37 @@ def local_kinetic_energy(f,
         return result
 
     return _lapl_over_f
+
+
+def make_kinetic(f,
+                 laplacian_method: str = "default",
+                 orbitals_fn=None,
+                 complex_output: bool = False,
+                 pair_output: bool = False,
+                 twist_k=None,
+                 ndim: int = 3,
+                 use_scan: bool = False,
+                 laplacian_chunk: Optional[int] = None) -> Callable:
+    """Selects the kinetic-energy evaluator for a local-energy factory.
+
+    The single switch between the batched-tangent Laplacian (the default;
+    works for every representation) and the forward Laplacian
+    (``laplacian_method="forward"``; needs ``orbitals_fn`` and a real or
+    (re,im)-pair wavefunction — the true complex-dtype path is unsupported).
+    Shared by every Hamiltonian module (molecular, ECP, Ewald, PBC+ECP) so
+    kinetic-path guards/options evolve in one place.
+    """
+    if laplacian_method == "forward":
+        if orbitals_fn is None or (complex_output and not pair_output):
+            raise ValueError("forward Laplacian needs orbitals_fn and a real "
+                             "or pair-complex wavefunction")
+        from aiqmc_tpu.ops.forward_laplacian import (make_forward_kinetic,
+                                                     make_forward_kinetic_pair)
+        if complex_output:
+            return make_forward_kinetic_pair(orbitals_fn, twist_k=twist_k,
+                                             ndim=ndim)
+        return make_forward_kinetic(orbitals_fn)
+    return local_kinetic_energy(f, use_scan=use_scan,
+                                complex_output=complex_output,
+                                laplacian_chunk=laplacian_chunk,
+                                pair_output=pair_output)

@@ -25,7 +25,7 @@ import chex
 import jax.numpy as jnp
 
 from aiqmc_tpu.hamiltonian import ecp
-from aiqmc_tpu.hamiltonian.kinetic import local_kinetic_energy
+from aiqmc_tpu.hamiltonian.kinetic import make_kinetic
 from aiqmc_tpu.models.features import construct_input_features
 from aiqmc_tpu.pbc import ewald as ewald_lib
 
@@ -59,21 +59,10 @@ def local_energy(f,
     """
     del nspins
     lattice = jnp.asarray(lattice)
-    if laplacian_method == "forward":
-        if orbitals_fn is None or (complex_output and not pair_output):
-            raise ValueError("forward Laplacian needs orbitals_fn and a real "
-                             "or pair-complex wavefunction")
-        from aiqmc_tpu.ops.forward_laplacian import (make_forward_kinetic,
-                                                     make_forward_kinetic_pair)
-        if complex_output:
-            ke = make_forward_kinetic_pair(orbitals_fn, twist_k=twist_k,
-                                           ndim=ndim)
-        else:
-            ke = make_forward_kinetic(orbitals_fn)
-    else:
-        ke = local_kinetic_energy(f, complex_output=complex_output,
-                                  laplacian_chunk=laplacian_chunk,
-                                  pair_output=pair_output)
+    ke = make_kinetic(f, laplacian_method=laplacian_method,
+                      orbitals_fn=orbitals_fn, complex_output=complex_output,
+                      pair_output=pair_output, twist_k=twist_k, ndim=ndim,
+                      laplacian_chunk=laplacian_chunk)
 
     # Short-range ECP local correction (no Coulomb term: Ewald carries it).
     sr_local = ecp.local_pp_energy(

@@ -136,28 +136,16 @@ def local_energy(f,
                  twist_k=None,
                  ndim: int = 3):
     """Periodic local energy (ref ferminet/pbc/hamiltonian.py:153-214)."""
-    from aiqmc_tpu.hamiltonian.kinetic import local_kinetic_energy
+    from aiqmc_tpu.hamiltonian.kinetic import make_kinetic
     from aiqmc_tpu.models.features import construct_input_features
 
     del nspins
     if lattice is None:
         lattice = jnp.eye(3)
-    if laplacian_method == "forward":
-        if orbitals_fn is None or (complex_output and not pair_output):
-            raise ValueError("forward Laplacian needs orbitals_fn and a real "
-                             "or pair-complex wavefunction")
-        from aiqmc_tpu.ops.forward_laplacian import (make_forward_kinetic,
-                                                     make_forward_kinetic_pair)
-        if complex_output:
-            ke = make_forward_kinetic_pair(orbitals_fn, twist_k=twist_k,
-                                           ndim=ndim)
-        else:
-            ke = make_forward_kinetic(orbitals_fn)
-    else:
-        ke = local_kinetic_energy(f, use_scan=use_scan,
-                                  complex_output=complex_output,
-                                  laplacian_chunk=laplacian_chunk,
-                                  pair_output=pair_output)
+    ke = make_kinetic(f, laplacian_method=laplacian_method,
+                      orbitals_fn=orbitals_fn, complex_output=complex_output,
+                      pair_output=pair_output, twist_k=twist_k, ndim=ndim,
+                      use_scan=use_scan, laplacian_chunk=laplacian_chunk)
 
     def _e_l(params, key: chex.PRNGKey, data) -> Tuple[jnp.ndarray, None]:
         del key

@@ -33,13 +33,8 @@ laplacian = sys.argv[6] if len(sys.argv) > 6 else "default"
 
 # Auto-detect Polyak-averaged params (cfg.optim.ema_decay > 0 in the VMC run).
 from aiqmc_tpu import checkpoint as ckpt_lib
-_last = ckpt_lib.find_last_checkpoint(restore)
-use_ema = False
-if _last:
-    with open(_last, "rb") as f:
-        use_ema = ("extra_" + ckpt_lib.EMA_EXTRA_KEY
-                   in np.load(f, allow_pickle=False).files)
-print("trial checkpoint:", _last, "use_ema:", use_ema)
+use_ema = ckpt_lib.has_ema(restore)
+print("trial dir:", restore, "use_ema:", use_ema)
 
 # Sizing mirrors scripts/run_c2_ccecp_kfac.py.
 cfg = c2_ccecp.get_config()

@@ -38,13 +38,8 @@ width = int(sys.argv[9]) if len(sys.argv) > 9 else 256
 # Auto-detect Polyak-averaged params: if the VMC run tracked an EMA
 # (cfg.optim.ema_decay > 0), run DMC from the averaged trial.
 from aiqmc_tpu import checkpoint as ckpt_lib
-use_ema = False
-_last = ckpt_lib.find_last_checkpoint(restore)
-if _last:
-    with open(_last, "rb") as f:
-        use_ema = ("extra_" + ckpt_lib.EMA_EXTRA_KEY
-                   in np.load(f, allow_pickle=False).files)
-print("trial checkpoint:", _last, "use_ema:", use_ema)
+use_ema = ckpt_lib.has_ema(restore)
+print("trial dir:", restore, "use_ema:", use_ema)
 
 # Trial built through the SAME config path as the VMC run (sizing mirrors
 # run_c_ccecp_kfac_big / run_c_ccecp_kfac_fstream) so every behaviour flag —

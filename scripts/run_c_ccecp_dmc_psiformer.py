@@ -23,13 +23,8 @@ save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c_dmc_psiformer"
 tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
 
 from aiqmc_tpu import checkpoint as ckpt_lib
-use_ema = False
-_last = ckpt_lib.find_last_checkpoint(restore)
-if _last:
-    with open(_last, "rb") as f:
-        use_ema = ("extra_" + ckpt_lib.EMA_EXTRA_KEY
-                   in np.load(f, allow_pickle=False).files)
-print("trial checkpoint:", _last, "use_ema:", use_ema)
+use_ema = ckpt_lib.has_ema(restore)
+print("trial dir:", restore, "use_ema:", use_ema)
 
 # Trial built through the SAME config path as the VMC run (a hand-rolled
 # make_psiformer call here once diverged on rescale_inputs, whose default

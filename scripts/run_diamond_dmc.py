@@ -69,7 +69,12 @@ energies, data, weights = driver.main(
     Non_local_coes=np.asarray(pp.non_local_coes),
     Non_local_exps=np.asarray(pp.non_local_exps), list_l=2,
     quadrature="icosahedral12", lattice=lattice,
-    complex_output=True, pair_output=True, laplacian=laplacian, twist=tw)
+    # Follow the trial's representation: at Gamma (tw all-zero) the network
+    # is REAL (sign output) — fixed-node DMC with phase_kill on — while any
+    # nonzero twist builds the complex-pairs trial (fixed-phase branch).
+    complex_output=bool(cfg.network.complex_orbitals),
+    pair_output=bool(cfg.network.complex_pairs),
+    laplacian=laplacian, twist=tw if any(t != 0.0 for t in tw) else None)
 
 e = np.asarray(energies)
 half = e[len(e) // 2:]

@@ -171,3 +171,22 @@ def test_save_is_atomic(tmp_path):
     path = checkpoint.save(str(tmp_path), 1, data, params, [])
     assert not [f for f in os.listdir(str(tmp_path)) if f.endswith(".tmp")]
     assert checkpoint.find_last_checkpoint(str(tmp_path)) == path
+
+
+def test_has_ema(tmp_path):
+    """has_ema: the one-call EMA auto-detection the DMC scripts share."""
+    params = {"w": jnp.ones((2, 2))}
+    data = AINetData(positions=jnp.ones((2, 6)), spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.array([2.0]))
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    checkpoint.save(str(plain), 1, data, params, {})
+    assert not checkpoint.has_ema(str(plain))
+    assert not checkpoint.has_ema(str(tmp_path / "missing"))
+
+    ema_dir = tmp_path / "ema"
+    ema_dir.mkdir()
+    extra = {checkpoint.EMA_EXTRA_KEY: checkpoint.ema_to_extra(params)}
+    checkpoint.save(str(ema_dir), 1, data, params, {}, extra=extra)
+    assert checkpoint.has_ema(str(ema_dir))
+    assert checkpoint.has_ema(checkpoint.find_last_checkpoint(str(ema_dir)))

@@ -616,3 +616,69 @@ def test_dmc_forward_laplacian_matches_default(periodic):
     tol = 1e-1 if periodic else 2e-4
     np.testing.assert_allclose(np.asarray(e_f), np.asarray(e_d),
                                rtol=tol, atol=tol)
+
+
+def test_estimate_energy_all_killed_population_is_finite():
+    """An all-killed population (every weight zero/non-finite) must give a
+    FINITE block estimate: 0/0 here poisoned E_trial with NaN one line
+    before the log-floor guard in the block loop could engage."""
+    from aiqmc_tpu.dmc import driver
+
+    e = jnp.array([[jnp.nan, jnp.inf], [-1.0, -1.0]])
+    w = jnp.array([[1.0, 1.0], [0.0, 0.0]])
+    assert np.isfinite(float(driver.estimate_energy(e, w)))
+
+
+def test_dmc_ema_restart_from_own_checkpoint(tmp_path):
+    """A killed EMA DMC run must be restartable: DMC's own checkpoints carry
+    no extras, so the EMA extraction has to be skipped on restart (the
+    restored params ARE the substituted trial) instead of raising — the
+    wedge-tolerant chip queues rely on this."""
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu import checkpoint as checkpoint_lib
+    from aiqmc_tpu import train
+    from aiqmc_tpu.dmc import driver
+
+    vmc_dir = tmp_path / "vmc"
+    dmc_dir = tmp_path / "dmc"
+    cfg = config_lib.default()
+    with cfg.unlocked():
+        cfg.system.atoms = np.array([[0.0, 0.0, 0.0]])
+        cfg.system.charges = np.array([2.0])
+        cfg.system.spins = np.array([1.0, -1.0])
+        cfg.batch_size = 8
+        cfg.optim.iterations = 2
+        cfg.optim.optimizer = "adam"
+        cfg.optim.ema_decay = 0.9
+        cfg.mcmc.steps = 2
+        cfg.mcmc.burn_in = 2
+        cfg.network.hidden_dims = ((8, 4),)
+        cfg.network.hidden_dims_ynlm = (4,)
+        cfg.debug.deterministic = True
+        cfg.log.save_path = str(vmc_dir)
+        cfg.log.save_frequency = 0.0
+    train.train(cfg)
+    assert checkpoint_lib.has_ema(str(vmc_dir))
+    assert not checkpoint_lib.has_ema(str(dmc_dir))
+
+    kwargs = dict(
+        atoms=np.array([[0.0, 0.0, 0.0]]), charges=np.array([2.0]),
+        spins=np.array([1.0, -1.0]), tstep=0.02, nelectrons=2,
+        nsteps=1, natoms=1, ndim=3, batch_size=8, iterations=1, nblocks=1,
+        feedback=1.0, nspins=(1, 1), save_path=str(dmc_dir),
+        restore_path=str(vmc_dir), save_frequency=1e9, use_ema=True,
+        network_kwargs={"hidden_dims": ((8, 4),),
+                        "hidden_dims_Ynlm": (4,),
+                        "full_equivariance": True,
+                        "complex_orbitals": False})
+    e1, data, _ = driver.main(**kwargs)
+    assert np.all(np.isfinite(np.asarray(e1)))
+
+    # Simulate the mid-run checkpoint of a killed DMC leg: params saved
+    # WITHOUT extras into DMC's own save dir. The restart (same argv) used
+    # to die with "VMC checkpoint carries no EMA params".
+    vmc_ckpt = checkpoint_lib.find_last_checkpoint(str(vmc_dir))
+    _, data_v, params_v, _, _ = checkpoint_lib.restore(vmc_ckpt)
+    checkpoint_lib.save(str(dmc_dir), 7, data_v, params_v, {})
+    e2, _, _ = driver.main(**kwargs)
+    assert np.all(np.isfinite(np.asarray(e2)))
