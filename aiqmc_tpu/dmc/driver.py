@@ -264,7 +264,11 @@ def main(atoms,
 
     writer_manager = writers.Writer(
         name="DMC_states", schema=["block", "energy", "weight"],
-        directory=ckpt_save_path, iteration_key=None, log=False)
+        directory=ckpt_save_path, iteration_key=None, log=False,
+        # On a restart (checkpoint already in our save dir) keep the earlier
+        # legs' block rows — the wedge-tolerant queues stitch the full DMC
+        # trace from this CSV.
+        append=dmc_restart_filename is not None)
 
     block_energies = []
     time_of_last_ckpt = time.time()
