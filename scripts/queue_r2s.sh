@@ -69,6 +69,11 @@ while true; do
   done
   wait "$PID" 2>/dev/null
   echo "=== wide leg $leg ended $(date) ===" >> "$Q"
+  # Box swaps wipe runs/ — only committed artifacts survive. Persist every
+  # leg's last checkpoint immediately (2026-08-19: lost t~5k..14k this way).
+  bash scripts/export_artifacts.sh c_kfac_wide >> "$Q" 2>&1
+  git add artifacts/c_kfac_wide >> "$Q" 2>&1 && \
+    git commit -q -m "Checkpoint wide-arm leg $leg artifacts" >> "$Q" 2>&1 || true
 done
 
 bash scripts/export_artifacts.sh c_kfac_wide >> "$Q" 2>&1

@@ -70,6 +70,10 @@ while true; do
   done
   wait "$PID" 2>/dev/null
   echo "=== c2 leg $leg ended $(date) ===" >> "$Q"
+  # Persist every leg: box swaps wipe runs/, only committed artifacts survive.
+  bash scripts/export_artifacts.sh c2_kfac >> "$Q" 2>&1
+  git add artifacts/c2_kfac >> "$Q" 2>&1 && \
+    git commit -q -m "Checkpoint C2 leg $leg artifacts" >> "$Q" 2>&1 || true
 done
 
 now=$(date +%s)
@@ -86,4 +90,6 @@ else
 fi
 
 bash scripts/export_artifacts.sh c2_kfac c2_dmc >> "$Q" 2>&1
+git add artifacts/c2_kfac artifacts/c2_dmc >> "$Q" 2>&1 && \
+  git commit -q -m "C2 campaign artifacts" >> "$Q" 2>&1 || true
 echo "=== queue_r2u finished $(date) ===" >> "$Q"
