@@ -256,6 +256,11 @@ def cross_device_check(modes=("real", "pair"), batch: int = 32,
 
     report = {"ok": True, "modes": {}}
     for mode in modes:
+        if verbose:
+            # Progress markers matter operationally: watchdogs use stdout
+            # staleness to tell a long remote compile from a wedged process
+            # (cold-cache axon compiles exceed 10 min with zero output).
+            print(f"{mode}: CPU reference worker starting", flush=True)
         out = tempfile.NamedTemporaryFile(suffix=f"_xdev_{mode}.npz",
                                           delete=False).name
         env = dict(os.environ)
@@ -276,6 +281,10 @@ def cross_device_check(modes=("real", "pair"), batch: int = 32,
             continue
         ref = np.load(out)
         inputs = {k[3:]: ref[k] for k in ref.files if k.startswith("in_")}
+        if verbose:
+            print(f"{mode}: CPU reference done; compiling/evaluating on this "
+                  "backend (cold remote compiles can take >10 min)",
+                  flush=True)
         here, _ = _xdev_compute(mode, batch, inputs=inputs)
         ok, rows = _xdev_compare(mode, here, dict(ref), verbose)
         report["ok"] &= ok
