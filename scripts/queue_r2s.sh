@@ -72,8 +72,11 @@ while true; do
   # Box swaps wipe runs/ — only committed artifacts survive. Persist every
   # leg's last checkpoint immediately (2026-08-19: lost t~5k..14k this way).
   bash scripts/export_artifacts.sh c_kfac_wide >> "$Q" 2>&1
+  # Pathspec commit: this fires from a background queue concurrent with other
+  # git activity — a bare `git commit` would sweep unrelated staged changes in.
   git add artifacts/c_kfac_wide >> "$Q" 2>&1 && \
-    git commit -q -m "Checkpoint wide-arm leg $leg artifacts" >> "$Q" 2>&1 || true
+    git commit -q -m "Checkpoint wide-arm leg $leg artifacts" \
+      -- artifacts/c_kfac_wide >> "$Q" 2>&1 || true
 done
 
 bash scripts/export_artifacts.sh c_kfac_wide >> "$Q" 2>&1

@@ -72,8 +72,10 @@ while true; do
   echo "=== c2 leg $leg ended $(date) ===" >> "$Q"
   # Persist every leg: box swaps wipe runs/, only committed artifacts survive.
   bash scripts/export_artifacts.sh c2_kfac >> "$Q" 2>&1
+  # Pathspec commit (see queue_r2s.sh): don't sweep unrelated staged changes.
   git add artifacts/c2_kfac >> "$Q" 2>&1 && \
-    git commit -q -m "Checkpoint C2 leg $leg artifacts" >> "$Q" 2>&1 || true
+    git commit -q -m "Checkpoint C2 leg $leg artifacts" \
+      -- artifacts/c2_kfac >> "$Q" 2>&1 || true
 done
 
 now=$(date +%s)
@@ -91,5 +93,6 @@ fi
 
 bash scripts/export_artifacts.sh c2_kfac c2_dmc >> "$Q" 2>&1
 git add artifacts/c2_kfac artifacts/c2_dmc >> "$Q" 2>&1 && \
-  git commit -q -m "C2 campaign artifacts" >> "$Q" 2>&1 || true
+  git commit -q -m "C2 campaign artifacts" \
+    -- artifacts/c2_kfac artifacts/c2_dmc >> "$Q" 2>&1 || true
 echo "=== queue_r2u finished $(date) ===" >> "$Q"

@@ -11,7 +11,10 @@ flags — see the diamond DMC NaN post-mortem in BASELINE.md).
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
        scripts/run_c2_ccecp_dmc.py <vmc_ckpt_dir> [blocks] [iters] [save] \
-           [tau] [laplacian]
+           [tau] [laplacian] [bond]
+
+bond MUST match the VMC run's geometry (run_c2_ccecp_kfac.py default
+2.348 bohr equilibrium; the reference example used a compressed 2.0).
 
 laplacian: default | forward — "forward" (~2x E_L) only after
 scripts/probe_forward_real.py passes on the current chip toolchain.
@@ -30,14 +33,15 @@ iters = int(sys.argv[3]) if len(sys.argv) > 3 else 40
 save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c2_dmc"
 tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
 laplacian = sys.argv[6] if len(sys.argv) > 6 else "default"
+bond = float(sys.argv[7]) if len(sys.argv) > 7 else 2.348
 
 # Auto-detect Polyak-averaged params (cfg.optim.ema_decay > 0 in the VMC run).
 from aiqmc_tpu import checkpoint as ckpt_lib
 use_ema = ckpt_lib.has_ema(restore)
 print("trial dir:", restore, "use_ema:", use_ema)
 
-# Sizing mirrors scripts/run_c2_ccecp_kfac.py.
-cfg = c2_ccecp.get_config()
+# Sizing + geometry mirror scripts/run_c2_ccecp_kfac.py.
+cfg = c2_ccecp.get_config(bond_length=bond)
 with cfg.unlocked():
     cfg.network.hidden_dims = ((128, 32),) * 4
     cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)

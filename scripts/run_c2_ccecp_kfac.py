@@ -2,10 +2,12 @@
 converged (its committed trace, AIQMCrelease3/example/C2/Save/train_states.csv,
 is a 10-step startup transient -12.87 -> -9.47 Ha).
 
-Reference geometry: atoms at (0,0,+-1) bohr (ref example/C2_muti_GPU/
-C2test.py:9), i.e. bond 2.0 bohr — compressed vs the physical 2.348.
-Context numbers (equilibrium): exact ccECP C2 ~ 2*(-5.434) - D_e(~0.23)
-~ -11.09 Ha; 2 isolated ccECP C atoms = -10.868.
+Geometry: EQUILIBRIUM bond 2.348 bohr (the reference example,
+ref example/C2_muti_GPU/C2test.py:9, uses atoms at (0,0,+-1) bohr = a
+2.0-bohr bond, compressed 0.35 bohr vs physical — we run the physical
+geometry so the number is comparable to the ccECP DMC literature
+~ -11.06 Ha). Context: 2 isolated ccECP C atoms = -10.868.
+Pass a bond length as argv[3] to reproduce the compressed reference cut.
 
 Uses the 12-pt icosahedral nonlocal quadrature (estimator-equivalent to the
 50-pt rule, ~4x cheaper at 8 electrons x 2 atoms).
@@ -23,8 +25,9 @@ from aiqmc_tpu.configs import c2_ccecp
 
 iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 9000
 save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/c2_kfac"
+bond = float(sys.argv[3]) if len(sys.argv) > 3 else 2.348
 
-cfg = c2_ccecp.get_config()
+cfg = c2_ccecp.get_config(bond_length=bond)
 with cfg.unlocked():
     cfg.batch_size = 1024
     cfg.network.hidden_dims = ((128, 32),) * 4
