@@ -61,10 +61,16 @@ def default() -> ml_collections.ConfigDict:
             },
             # Statistical step rejection (optim/guard.py): rolls back
             # finite-but-pathological optimizer steps (variance explosion /
-            # non-variational energy plunge). Opt-in; motivated by the Si
-            # all-electron divergence (runs/si_vmc, BASELINE.md).
+            # non-variational energy plunge). Motivated by the Si
+            # all-electron divergence (runs/si_vmc, BASELINE.md). "auto"
+            # (default) enables it for the curvature optimizers (kfac,
+            # spring) — the two whose steps have been measured to diverge
+            # finitely — and leaves the first-order ones (adam, lamb) bare;
+            # set True/False to force either way.
             "guard": {
-                "enable": False,
+                # object-typed so callers can assign True/False over the
+                # "auto" default (ml_collections enforces field types).
+                "enable": ml_collections.config_dict.placeholder(object),
                 "var_factor": 8.0,   # reject if batch var > factor * EW var
                 "jump_sigmas": 20.0, # reject if |E - EW E| > k * sem
                 "warmup": 300,       # accepted steps before the guard engages

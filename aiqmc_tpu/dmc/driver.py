@@ -21,7 +21,28 @@ from aiqmc_tpu.dmc.branch import branch
 from aiqmc_tpu.dmc.propagate import (build_dmc_local_energy,
                                      calculate_total_energy, dmc_propagate)
 from aiqmc_tpu.models import network as nn, spin_indices
+from aiqmc_tpu.parallel import mesh as mesh_lib
 from aiqmc_tpu.utils import writers
+
+
+def _dmc_mesh(batch_size: int):
+    """Largest data-parallel mesh that divides the walker population.
+
+    The reference's DMC is multi-device (pmap dispatch of propagation and the
+    per-device total energy, ref DMC/main_dmc.py:97-114,169-175); the
+    TPU-native equivalent is the same 1-D ``Mesh(('data',))`` the VMC trainer
+    uses, with every jitted program below running under GSPMD. If the
+    population does not divide the device count, the mesh shrinks to the
+    largest prefix that does (never fails, worst case single device)."""
+    devices = jax.devices()
+    n_use = len(devices)
+    while batch_size % n_use:
+        n_use -= 1
+    if n_use != len(devices):
+        logging.warning(
+            "DMC batch %d not divisible by %d devices; meshing over %d",
+            batch_size, len(devices), n_use)
+    return mesh_lib.make_mesh(devices[:n_use])
 
 
 def estimate_energy(energy_data: jnp.ndarray, weights_data: jnp.ndarray):
@@ -104,7 +125,8 @@ def main(atoms,
          pair_output: bool = False,
          phase_kill: Optional[bool] = None,
          laplacian: str = "default",
-         twist=None):
+         twist=None,
+         mesh=None):
     """Runs DMC; returns (per-block energies, final data, final weights).
 
     Fixed-phase / periodic extensions (beyond the reference's real molecular
@@ -123,6 +145,11 @@ def main(atoms,
     (pair trials; also pass ``twist=`` the fractional twist so the plane-wave
     boost enters the kinetic analytically) passes on the current chip
     toolchain, mirroring the VMC scripts' gate.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` with a 'data' axis to shard the
+    walker population over (default: all devices, shrunk to the largest
+    count dividing ``batch_size``). Pass a single-device mesh to force the
+    unsharded execution (equivalence tests).
     """
     del structure
     logging.info("Diffusion Quantum Monte Carlo start")
@@ -181,9 +208,20 @@ def main(atoms,
             raise ValueError(
                 "use_ema: VMC checkpoint carries no EMA params — train with "
                 "cfg.optim.ema_decay > 0")
+    # Distribute over the device mesh: walkers sharded on the 'data' axis,
+    # params/static system arrays replicated — the GSPMD analogue of the
+    # reference's pmapped DMC (ref DMC/main_dmc.py:97-114). Every jitted
+    # program below (propagation, both energy evaluations, reweighting,
+    # branching) then compiles once over the mesh; the branching comb's
+    # global gather lowers to an ICI collective instead of a host round trip.
+    if mesh is None:
+        mesh = _dmc_mesh(batch_size)
     data = nn.AINetData(
-        positions=jnp.asarray(data.positions), spins=jnp.asarray(data.spins),
-        atoms=jnp.asarray(data.atoms), charges=jnp.asarray(data.charges))
+        positions=mesh_lib.shard_walkers(jnp.asarray(data.positions), mesh),
+        spins=mesh_lib.replicate(jnp.asarray(data.spins), mesh),
+        atoms=mesh_lib.replicate(jnp.asarray(data.atoms), mesh),
+        charges=mesh_lib.replicate(jnp.asarray(data.charges), mesh))
+    params = mesh_lib.replicate(params, mesh)
 
     if complex_output is None:
         complex_output = network_kwargs.get("complex_orbitals", False)
@@ -257,9 +295,18 @@ def main(atoms,
         convergence_radius=convergence_radius, phase_kill=phase_kill,
         laplacian_method=laplacian_method, orbitals_fn=orbitals_fn,
         twist_k=twist_k))
-    jit_branch = jax.jit(branch)
+    # Pin the branch outputs back to the canonical shardings (walkers on
+    # 'data', weights on 'data') so the propagate programs see one stable
+    # input signature across blocks regardless of what GSPMD would have
+    # picked for the comb gather's output.
+    _dsh = mesh_lib.data_sharding(mesh)
+    _rep = mesh_lib.replicated(mesh)
+    jit_branch = jax.jit(branch, out_shardings=(
+        nn.AINetData(positions=_dsh, spins=_rep, atoms=_rep, charges=_rep),
+        _dsh, _dsh))
 
-    weights = jnp.ones((batch_size,))
+    weights = jax.device_put(jnp.ones((batch_size,)),
+                             mesh_lib.data_sharding(mesh))
     branchcut_start = 10.0
 
     writer_manager = writers.Writer(

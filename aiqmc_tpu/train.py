@@ -425,6 +425,20 @@ class _TrainingComponents:
         self.combined_step = combined_step
 
 
+def _guard_enabled(cfg) -> bool:
+    """Resolves cfg.optim.guard.enable: True/False are literal; "auto" (the
+    default) arms the guard for the curvature optimizers (kfac, spring) whose
+    finite divergences motivated it (Si collapse, SPRING plateau creep —
+    BASELINE.md) and leaves first-order optimizers unguarded."""
+    guard_cfg = cfg.optim.get("guard", None)
+    if not guard_cfg:
+        return False
+    enable = guard_cfg.get("enable", None)
+    if enable is None or enable == "auto":
+        return cfg.optim.get("optimizer", "") in ("kfac", "spring")
+    return bool(enable)
+
+
 def make_training_components(cfg, network, batch_size: int,
                              params_template=None, data_template=None):
     """Builds the training-step bundle for the configured optimizer,
@@ -434,7 +448,7 @@ def make_training_components(cfg, network, batch_size: int,
         cfg, network, batch_size, params_template=params_template,
         data_template=data_template)
     guard_cfg = cfg.optim.get("guard", None)
-    if guard_cfg and guard_cfg.get("enable", False):
+    if _guard_enabled(cfg):
         from aiqmc_tpu.optim import guard as guard_lib
         wrap_init, guarded = guard_lib.make_guarded_step(
             components.combined_step,
@@ -846,8 +860,7 @@ def train(cfg: ml_collections.ConfigDict,
     n_states = cfg.system.get("states", 0)
     state_cols = [f"energy_state_{k}" for k in range(n_states)]
     schema += state_cols
-    guard_cfg = cfg.optim.get("guard", None)
-    guard_on = bool(guard_cfg and guard_cfg.get("enable", False))
+    guard_on = _guard_enabled(cfg)
     if guard_on:
         # Surface the step-rejection counter so a stalled (all-rejecting)
         # run is visible in the CSV rather than silently frozen.

@@ -152,3 +152,26 @@ class TestGuardTraining:
             cfg.optim.iterations = 6
         result2 = train_lib.train(cfg)
         assert np.isfinite(result2.energies).all()
+
+
+def test_guard_auto_default():
+    """enable="auto" (the config default) arms the guard exactly for the
+    curvature optimizers whose finite divergences motivated it."""
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu import train as train_lib
+
+    cfg = config_lib.default()
+    assert cfg.optim.guard.enable is None  # placeholder == "auto"
+    for opt, expected in [("kfac", True), ("spring", True),
+                          ("adam", False), ("lamb", False), ("none", False)]:
+        with cfg.unlocked():
+            cfg.optim.optimizer = opt
+        assert train_lib._guard_enabled(cfg) == expected, opt
+    with cfg.unlocked():
+        cfg.optim.optimizer = "adam"
+        cfg.optim.guard.enable = True
+    assert train_lib._guard_enabled(cfg)
+    with cfg.unlocked():
+        cfg.optim.optimizer = "kfac"
+        cfg.optim.guard.enable = False
+    assert not train_lib._guard_enabled(cfg)
