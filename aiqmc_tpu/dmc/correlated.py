@@ -31,6 +31,7 @@ def make_correlated_dmc_accumulator(signed_network,
         signed_network, make_local_energy(jnp.asarray(a))))
         for a in new_atoms_list]
 
+    @jax.jit
     def accumulate(params, key, data: AINetData, weights: jnp.ndarray
                    ) -> Tuple[jnp.ndarray, list]:
         ref_le = make_local_energy(data.atoms)

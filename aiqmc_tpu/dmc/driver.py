@@ -20,7 +20,7 @@ from aiqmc_tpu import checkpoint as checkpoint_lib
 from aiqmc_tpu.dmc.branch import branch
 from aiqmc_tpu.dmc.propagate import (build_dmc_local_energy,
                                      calculate_total_energy, dmc_propagate)
-from aiqmc_tpu.models import network as nn, spin_indices
+from aiqmc_tpu.models import network as nn
 from aiqmc_tpu.parallel import mesh as mesh_lib
 from aiqmc_tpu.utils import writers
 
@@ -31,18 +31,72 @@ def _dmc_mesh(batch_size: int):
     The reference's DMC is multi-device (pmap dispatch of propagation and the
     per-device total energy, ref DMC/main_dmc.py:97-114,169-175); the
     TPU-native equivalent is the same 1-D ``Mesh(('data',))`` the VMC trainer
-    uses, with every jitted program below running under GSPMD. If the
-    population does not divide the device count, the mesh shrinks to the
-    largest prefix that does (never fails, worst case single device)."""
-    devices = jax.devices()
-    n_use = len(devices)
-    while batch_size % n_use:
-        n_use -= 1
-    if n_use != len(devices):
+    uses, with every jitted program below running under GSPMD."""
+    mesh = mesh_lib.walker_mesh(batch_size)
+    if mesh.devices.size != len(jax.devices()):
         logging.warning(
             "DMC batch %d not divisible by %d devices; meshing over %d",
-            batch_size, len(devices), n_use)
-    return mesh_lib.make_mesh(devices[:n_use])
+            batch_size, len(jax.devices()), mesh.devices.size)
+    return mesh
+
+
+# make_ai_net keyword -> cfg.network field, for every kwarg the keyword path
+# accepts. Anything else (callables, custom feature layers) must come in as a
+# prebuilt ``network=`` so it cannot silently diverge from the trained trial.
+_NETWORK_FIELD_MAP = {
+    "hidden_dims": "hidden_dims",
+    "hidden_dims_Ynlm": "hidden_dims_ynlm",
+    "determinants": "determinants",
+    "bias_orbitals": "bias_orbitals",
+    "rescale_inputs": "rescale_inputs",
+    "full_equivariance": "full_equivariance",
+    "complex_orbitals": "complex_orbitals",
+    "complex_pairs": "complex_pairs",
+    "bounded_envelope": "bounded_envelope",
+    "regular_harmonics": "regular_harmonics",
+    "envelope_type": "envelope_type",
+    "use_schnet": "use_schnet",
+    "h_stream": "h_stream",
+    "pbc_smooth_r": "pbc_smooth_r",
+    "jastrow_ae": "jastrow_ae",
+    "jastrow_ee": "jastrow_ee",
+    "jastrow_scale": "jastrow_scale",
+}
+
+
+def _network_from_kwargs(atoms, charges, spins, ndim, use_pp, lattice, twist,
+                         network_kwargs):
+    """Builds the trial through train.network_from_config (never make_ai_net).
+
+    Translates the keyword-API network kwargs into a config so every
+    behaviour flag the trainer resolves (bounded_envelope/regular_harmonics
+    defaults, jastrow_ae auto-off for ECP systems, twist wrapping) is applied
+    identically here — the keyword path cannot build a different wavefunction
+    than training did."""
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu import train as train_lib
+
+    unknown = sorted(set(network_kwargs) - set(_NETWORK_FIELD_MAP))
+    if unknown:
+        raise ValueError(
+            f"DMC keyword path cannot express network kwargs {unknown} as "
+            "config fields — build the trial with train.network_from_config "
+            "(or a custom factory) and pass it as network=")
+    cfg = config_lib.default()
+    with cfg.unlocked():
+        cfg.system.atoms = np.asarray(atoms)
+        cfg.system.charges = np.asarray(charges)
+        cfg.system.spins = np.asarray(spins)
+        cfg.system.ndim = int(ndim)
+        cfg.system.use_pp = bool(use_pp)
+        if lattice is not None:
+            cfg.system.pbc = True
+            cfg.system.structure = np.asarray(lattice)
+        if twist is not None:
+            cfg.system.twist = tuple(float(t) for t in np.asarray(twist))
+        for k, v in network_kwargs.items():
+            setattr(cfg.network, _NETWORK_FIELD_MAP[k], v)
+    return train_lib.network_from_config(cfg)
 
 
 def estimate_energy(energy_data: jnp.ndarray, weights_data: jnp.ndarray):
@@ -168,24 +222,23 @@ def main(atoms,
     if not ckpt_restore_filename:
         raise ValueError("DMC must use the wave function from VMC!")
 
-    spins_arr = np.asarray(spins)
-    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins_arr,
-                                                               nelectrons)
-    up, down = spin_indices.spin_indices_h(spins_arr)
     network_kwargs = dict(network_kwargs or {})
     if network is None:
-        # Match the VMC trainer's default (train._build_network): the Pade a-e
-        # cusp Jastrow is auto-disabled for pseudopotential systems (smooth psi
-        # at ECP cores), and the restored param tree must agree.
-        network_kwargs.setdefault("jastrow_ae", Rn_local is None)
-        network = nn.make_ai_net(
-            ndim=ndim, nelectrons=nelectrons, natoms=natoms,
-            nspins=tuple(nspins), charges=jnp.asarray(charges),
-            parallel_indices=par, antiparallel_indices=anti,
-            n_parallel=n_par, n_antiparallel=n_anti,
-            spin_up_indices=up, spin_down_indices=down, **network_kwargs)
-    # else: a prebuilt Network (e.g. models.psiformer.make_psiformer) whose
-    # param tree matches the VMC checkpoint being restored.
+        # Route EVERY network construction through train.network_from_config
+        # — the exact builder the VMC trainer used. A hand-rolled make_ai_net
+        # call here once restored cleanly (same param tree) and then silently
+        # evaluated a DIFFERENT wavefunction (make_ai_net defaults
+        # bounded_envelope/regular_harmonics=False vs the trained config's
+        # True): all 40 diamond fixed-phase DMC blocks NaN'd. The keyword
+        # path now raises on any kwarg it cannot express as a config field
+        # instead of silently diverging.
+        network = _network_from_kwargs(
+            atoms=atoms, charges=charges, spins=spins, ndim=ndim,
+            use_pp=Rn_local is not None, lattice=lattice, twist=twist,
+            network_kwargs=network_kwargs)
+    # else: a prebuilt Network (e.g. train.network_from_config(cfg) for a
+    # config-driven run, or models.psiformer.make_psiformer) whose param tree
+    # AND behaviour flags match the VMC checkpoint being restored.
     signed_network = network.apply
 
     key, subkey = jax.random.split(key)

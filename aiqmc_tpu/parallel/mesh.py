@@ -28,6 +28,20 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def walker_mesh(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
+    """Largest data-parallel mesh whose device count divides ``batch_size``.
+
+    Drivers that receive a walker population of arbitrary size (DMC restore,
+    eval sweeps) use this instead of requiring the caller to pick a mesh: if
+    the population does not divide the device count, the mesh shrinks to the
+    largest prefix that does (never fails; worst case a single device)."""
+    devices = jax.devices()
+    n_use = len(devices)
+    while batch_size % n_use:
+        n_use -= 1
+    return make_mesh(devices[:n_use], axis_name)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     """Sharding that replicates a pytree leaf on every device of the mesh."""
     return NamedSharding(mesh, P())

@@ -4,11 +4,18 @@ Capability parity with ref ``AIQMCrelease3/VMC/VMC_energy_correlated_samples.py`
 (:30-194): restore a checkpoint, equilibrate walkers, evaluate the energy at the
 reference geometry and at displaced geometries using space-warp-transported
 samples with Jacobian x |psi_new/psi_old|^2 weights.
+
+Multi-device: like the training loop and the DMC driver, these drivers run
+their batched programs under GSPMD on a 1-D ``Mesh(('data',))`` — call
+``distribute`` once to shard the walker population over the mesh and
+replicate the parameters; every jitted evaluation below then compiles over
+the mesh and the batch reductions lower to ICI collectives (the reference
+parallelises the same way with pmap, ref constants.py:5-9).
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -17,18 +24,41 @@ from absl import logging
 
 from aiqmc_tpu import corrsamples
 from aiqmc_tpu.models.network import AINetData
+from aiqmc_tpu.parallel import mesh as mesh_lib
+
+
+def distribute(params, data: AINetData, mesh=None):
+    """Shards walkers over the 'data' axis, replicates params/system arrays.
+
+    mesh defaults to the largest device prefix dividing the walker batch.
+    Returns (params, data, mesh); pass the outputs to the evaluators below.
+    """
+    if mesh is None:
+        mesh = mesh_lib.walker_mesh(int(np.shape(data.positions)[0]))
+    data = AINetData(
+        positions=mesh_lib.shard_walkers(jnp.asarray(data.positions), mesh),
+        spins=mesh_lib.replicate(jnp.asarray(data.spins), mesh),
+        atoms=mesh_lib.replicate(jnp.asarray(data.atoms), mesh),
+        charges=mesh_lib.replicate(jnp.asarray(data.charges), mesh))
+    return mesh_lib.replicate(params, mesh), data, mesh
 
 
 def evaluate_energy(local_energy, params, key, data: AINetData
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batch-mean energy and per-walker energies."""
+    """Batch-mean energy and per-walker energies (jitted, GSPMD over the
+    sharding of ``data.positions``)."""
     batch_local_energy = jax.vmap(
         local_energy,
         in_axes=(None, 0, AINetData(positions=0, spins=None, atoms=None,
                                     charges=None)))
-    keys = jax.random.split(key, num=data.positions.shape[0])
-    e_l, _ = batch_local_energy(params, keys, data)
-    return jnp.mean(e_l), e_l
+
+    @jax.jit
+    def program(params, key, data):
+        keys = jax.random.split(key, num=data.positions.shape[0])
+        e_l, _ = batch_local_energy(params, keys, data)
+        return jnp.mean(e_l), e_l
+
+    return program(params, key, data)
 
 
 def correlated_energy_sweep(signed_network,
@@ -36,13 +66,17 @@ def correlated_energy_sweep(signed_network,
                             params,
                             key,
                             data: AINetData,
-                            new_atoms_list: Sequence[jnp.ndarray]):
+                            new_atoms_list: Sequence[jnp.ndarray],
+                            mesh=None):
     """Energies at displaced geometries from reference-geometry walkers.
 
     make_local_energy(atoms) must build the local-energy function for a
     geometry (the ECP/Coulomb tables depend only on charges, which are fixed).
-    Returns (E_ref, [E_displaced...]) (ref VMC_energy_correlated_samples.py:156-189).
+    Walkers are distributed over ``mesh`` (default: all devices dividing the
+    batch) before any evaluation. Returns (E_ref, [E_displaced...])
+    (ref VMC_energy_correlated_samples.py:156-189).
     """
+    params, data, mesh = distribute(params, data, mesh)
     ref_local_energy = make_local_energy(data.atoms)
     key, subkey = jax.random.split(key)
     e_ref, _ = evaluate_energy(ref_local_energy, params, subkey, data)
@@ -50,8 +84,8 @@ def correlated_energy_sweep(signed_network,
     energies = []
     for new_atoms in new_atoms_list:
         new_atoms = jnp.asarray(new_atoms)
-        corr = corrsamples.make_correlated_energy(
-            signed_network, make_local_energy(new_atoms))
+        corr = jax.jit(corrsamples.make_correlated_energy(
+            signed_network, make_local_energy(new_atoms)))
         key, subkey = jax.random.split(key)
         e_new, _ = corr(params, subkey, data, new_atoms)
         energies.append(e_new)
