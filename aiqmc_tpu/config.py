@@ -150,6 +150,11 @@ def default() -> ml_collections.ConfigDict:
             "spins": None,              # (nelectrons,) of +-1
             "nspins": None,             # (n_up, n_down)
             "states": 0,                # K>0: NES-VMC total ansatz of K states
+            # False (default): ONE shared network, K determinant groups
+            # (upstream parity, ref ferminet/networks.py:1273-1311; base net
+            # gets determinants = K * network.determinants). True: legacy K
+            # independent parameter copies (K x params/opt state, K^2 evals).
+            "excited_param_copies": False,
             "ndim": 3,
             # Importlib plugin hook (ref ferminet/train.py:688-702): factory
             # called as fn(f=, charges=, nspins=, use_scan=, complex_output=,

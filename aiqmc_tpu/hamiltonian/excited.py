@@ -98,12 +98,7 @@ def local_energy_matrix(base_orbitals,
              ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         del key
         configs = jnp.reshape(data.positions, (states, nelectrons * ndim))
-
-        def _pot(x):
-            _, _, r_ae, r_ee = construct_input_features(x, data.atoms)
-            return coulomb.potential_energy(r_ae, r_ee, data.atoms, charges)
-
-        pots = jax.vmap(_pot)(configs)                      # (K configs,)
+        pots = jax.vmap(lambda x: _potential(x, data.atoms, charges))(configs)
 
         per_state = [jax.vmap(
             lambda x, p=p: _one(p, x, data.spins, data.atoms, data.charges))(
@@ -111,10 +106,75 @@ def local_energy_matrix(base_orbitals,
         sign_mat = jnp.stack([s for s, _, _ in per_state], axis=-1)  # (j, i)
         log_mat = jnp.stack([l for _, l, _ in per_state], axis=-1)
         kin_mat = jnp.stack([k for _, _, k in per_state], axis=-1)
+        return _energy_matrix(sign_mat, log_mat, kin_mat, pots)
 
-        psi_mat = sign_mat * jnp.exp(log_mat - jnp.max(log_mat))
-        hpsi_mat = psi_mat * (kin_mat + pots[:, None])
-        energy_mat = jnp.linalg.solve(psi_mat, hpsi_mat)
-        return jnp.trace(energy_mat), energy_mat
+    return _e_l
+
+
+def _potential(x, atoms, charges):
+    _, _, r_ae, r_ee = construct_input_features(x, atoms)
+    return coulomb.potential_energy(r_ae, r_ee, atoms, charges)
+
+
+def _energy_matrix(sign_mat, log_mat, kin_mat, pots):
+    """(tr(M^-1 HM), M^-1 HM) from per-(config j, state i) sign/log/kinetic."""
+    psi_mat = sign_mat * jnp.exp(log_mat - jnp.max(log_mat))
+    hpsi_mat = psi_mat * (kin_mat + pots[:, None])
+    energy_mat = jnp.linalg.solve(psi_mat, hpsi_mat)
+    return jnp.trace(energy_mat), energy_mat
+
+
+def local_energy_matrix_shared(base_orbitals,
+                               charges: jnp.ndarray,
+                               states: int,
+                               nelectrons: int,
+                               ndim: int = 3):
+    """NES-VMC energy matrix for the SHARED-parameter state construction.
+
+    ``base_orbitals`` is the base network's orbitals callable built with
+    ``K * ndets`` determinants; psi_i sums determinant group i (upstream
+    split, ref ferminet/networks.py:1273-1311). One forward-Laplacian pass
+    per configuration yields sign/log/kinetic of ALL K states — K network
+    differentiations per extended config instead of the legacy K^2 — by
+    applying the logdet-sum combination per determinant group:
+
+        psi_g = sum_{k in g} s_k exp(l_k),   w_k = s_k exp(l_k) / psi_g,
+        grad log|psi_g| = sum w_k grad l_k,
+        lap log|psi_g| = sum w_k (lap l_k + |grad l_k|^2) - |grad log psi_g|^2.
+    """
+    from aiqmc_tpu.ops.forward_laplacian import (forward_laplacian,
+                                                 slogdet_fwdlap)
+
+    def _all_states(params, x, spins, atoms, charges_):
+        orb = forward_laplacian(
+            lambda y: base_orbitals(params, y, spins, atoms, charges_)[0])(x)
+        sign, logabs, grad, lap = slogdet_fwdlap(orb)  # (K*d,), grad (n, K*d)
+        k = states
+        sign_g = sign.reshape(k, -1)
+        log_g = logabs.reshape(k, -1)
+        grad_g = grad.reshape(grad.shape[0], k, -1)
+        lap_g = lap.reshape(k, -1)
+        m = jnp.max(log_g, axis=1, keepdims=True)
+        terms = sign_g * jnp.exp(log_g - m)             # (K, d)
+        s = jnp.sum(terms, axis=1)                      # (K,)
+        w = terms / s[:, None]
+        log_out = m[:, 0] + jnp.log(jnp.abs(s))
+        sign_out = jnp.sign(s)
+        grad_out = jnp.einsum("kd,nkd->nk", w, grad_g)  # (n, K)
+        lap_out = (jnp.sum(w * (lap_g + jnp.sum(grad_g ** 2, axis=0)), axis=1)
+                   - jnp.sum(grad_out ** 2, axis=0))
+        kin = -0.5 * (lap_out + jnp.sum(grad_out ** 2, axis=0))
+        return sign_out, log_out, kin                   # each (K states,)
+
+    def _e_l(params, key: chex.PRNGKey, data
+             ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        del key
+        configs = jnp.reshape(data.positions, (states, nelectrons * ndim))
+        pots = jax.vmap(lambda x: _potential(x, data.atoms, charges))(configs)
+        # vmap over configs j -> matrices indexed [j, i].
+        sign_mat, log_mat, kin_mat = jax.vmap(
+            lambda x: _all_states(params, x, data.spins, data.atoms,
+                                  data.charges))(configs)
+        return _energy_matrix(sign_mat, log_mat, kin_mat, pots)
 
     return _e_l

@@ -41,20 +41,36 @@ def init_linear_layer(key: chex.PRNGKey, in_dim: int, out_dim: int,
 # function. This replaces the reference's kfac_jax graph-pattern matching
 # (ref curvature_tags_and_blocks.py:194-263).
 _ACTIVATION_TAPE: Optional[list] = None
+_ACTIVATION_PROBES: Optional[list] = None
 
 
 class capture_activations:
-    """Context manager collecting (x, w) for every dense layer application."""
+    """Context manager collecting (x, w) for every dense layer application.
+
+    probes: optional list aligned with CALL ORDER (the order entries appear
+    on the tape); call i with ``probes[i] is not None`` has probes[i] added
+    to its output. This is the per-call bias-perturbation hook optim.kfac
+    differentiates to obtain per-call output gradients — per CALL, not per
+    layer, so layers invoked several times in one evaluation (the shared
+    excited-state ansatz evaluates the base network once per state
+    configuration) get independent probes.
+    """
+
+    def __init__(self, probes: Optional[list] = None):
+        self._probes = probes
 
     def __enter__(self):
-        global _ACTIVATION_TAPE
+        global _ACTIVATION_TAPE, _ACTIVATION_PROBES
         self._saved = _ACTIVATION_TAPE
+        self._saved_probes = _ACTIVATION_PROBES
         _ACTIVATION_TAPE = []
+        _ACTIVATION_PROBES = self._probes
         return _ACTIVATION_TAPE
 
     def __exit__(self, exc_type, exc_val, exc_tb):
-        global _ACTIVATION_TAPE
+        global _ACTIVATION_TAPE, _ACTIVATION_PROBES
         _ACTIVATION_TAPE = self._saved
+        _ACTIVATION_PROBES = self._saved_probes
         return False
 
 
@@ -75,14 +91,22 @@ def set_matmul_dtype(dtype) -> None:
 def linear_layer(x: jnp.ndarray, w: jnp.ndarray,
                  b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Evaluates x @ w (+ b). The matmul is the MXU workhorse of the model."""
+    probe = None
     if _ACTIVATION_TAPE is not None:
+        idx = len(_ACTIVATION_TAPE)
         _ACTIVATION_TAPE.append((x, w))
+        if _ACTIVATION_PROBES is not None and idx < len(_ACTIVATION_PROBES):
+            probe = _ACTIVATION_PROBES[idx]
     if _MATMUL_DTYPE is not None and not jnp.iscomplexobj(x):
         y = jnp.dot(x.astype(_MATMUL_DTYPE), w.astype(_MATMUL_DTYPE),
                     preferred_element_type=jnp.float32)
     else:
         y = jnp.dot(x, w, preferred_element_type=x.dtype)
-    return y + b if b is not None else y
+    if b is not None:
+        y = y + b
+    if probe is not None:
+        y = y + probe
+    return y
 
 
 vmap_linear_layer = jax.vmap(linear_layer, in_axes=(0, None, None), out_axes=0)

@@ -157,23 +157,35 @@ def make_kfac_optimizer(evaluate_loss,
     paths = dense_layer_paths(params_template)
     loss_and_grad = jax.value_and_grad(evaluate_loss, argnums=0, has_aux=True)
 
-    # ---- Trace per-layer activation shapes once to size the probes. ---------
+    # ---- Trace the dense-call structure once to size the probes. ------------
+    # Layers may fire SEVERAL times per evaluation (RepeatedDense semantics;
+    # e.g. the shared excited-state ansatz evaluates the base network once per
+    # state configuration), so probes and activations are tracked per CALL in
+    # tape order and grouped by layer path when the Kronecker factors are
+    # assembled. `call_paths[i]` is the index into `paths` of tape call i
+    # (None for untracked matmuls); it is static — filled as a side effect of
+    # the single eval_shape trace below.
+    call_paths = []
+
     def _shapes_only(pos):
         with blocks.capture_activations() as tape:
             loss_network(params_template, pos, data_template.spins,
                          data_template.atoms, data_template.charges)
-        # Match tape entries to dense paths by weight identity.
+        call_paths.clear()
         acts = []
-        for path in paths:
-            w_leaf = _get_path(params_template, path)["w"]
-            x_match = None
-            for (x, w) in tape:
-                if w is w_leaf:
-                    x_match = x
+        for (x, w) in tape:
+            match = None
+            for pi, path in enumerate(paths):
+                if w is _get_path(params_template, path)["w"]:
+                    match = pi
                     break
-            if x_match is None:
+            call_paths.append(match)
+            if match is not None:
+                acts.append(x)
+        seen = {pi for pi in call_paths if pi is not None}
+        for pi, path in enumerate(paths):
+            if pi not in seen:
                 raise ValueError(f"No activation recorded for layer {path}")
-            acts.append(x_match)
         return acts
 
     # Abstract shape trace only — nothing is executed.
@@ -181,34 +193,27 @@ def make_kfac_optimizer(evaluate_loss,
         _shapes_only,
         jax.ShapeDtypeStruct(data_template.positions.shape[1:],
                              data_template.positions.dtype))
+    tracked = [pi for pi in call_paths if pi is not None]
     probe_shapes = []
-    for path, a_shape in zip(paths, _acts_shapes):
-        w = _get_path(params_template, path)["w"]
-        repeats = a_shape.shape[0]
-        probe_shapes.append((repeats, w.shape[1]))
+    for pi, a_shape in zip(tracked, _acts_shapes):
+        w = _get_path(params_template, paths[pi])["w"]
+        probe_shapes.append((a_shape.shape[0], w.shape[1]))
 
     zero_probes = [jnp.zeros(s) for s in probe_shapes]
 
     # ---- Per-sample (a, g) capture. -----------------------------------------
     def _sample_ag(params, pos, spins, atoms, charges):
         def f(probes):
-            patched = params
-            for path, probe in zip(paths, probes):
-                layer = _get_path(patched, path)
-                new_layer = dict(layer)
-                new_layer["b"] = layer["b"] + probe
-                patched = _set_path(patched, path, new_layer)
-            with blocks.capture_activations() as tape:
-                out = loss_network(patched, pos, spins, atoms, charges)
-            acts = []
-            for path in paths:
-                w_leaf = _get_path(patched, path)["w"]
-                x_match = None
-                for (x, w) in tape:
-                    if w is w_leaf:
-                        x_match = x
-                        break
-                acts.append(x_match)
+            # Scatter the tracked probes into call-order slots; each dense
+            # CALL gets its own output perturbation (blocks.linear_layer),
+            # so grad wrt probes = per-call output gradients even when one
+            # layer fires several times.
+            it = iter(probes)
+            full = [next(it) if pi is not None else None for pi in call_paths]
+            with blocks.capture_activations(probes=full) as tape:
+                out = loss_network(params, pos, spins, atoms, charges)
+            acts = [x for (x, _), pi in zip(tape, call_paths)
+                    if pi is not None]
             return out, acts
 
         grads, acts = jax.grad(f, has_aux=True)(zero_probes)
@@ -220,9 +225,13 @@ def make_kfac_optimizer(evaluate_loss,
             _sample_ag, in_axes=(None, 0, None, None, None))(
                 params, data.positions, data.spins, data.atoms, data.charges)
         new_a, new_g = [], []
-        for a, g in zip(acts, grads):
-            # a: (B, R, din); g: (B, R, dout)
-            batch, repeats = a.shape[0], a.shape[1]
+        for pi in range(len(paths)):
+            idxs = [ci for ci, p in enumerate(tracked) if p == pi]
+            # Calls of one layer concatenate along the repeats (row) axis:
+            # a: (B, sum_R, din); g: (B, sum_R, dout).
+            a = jnp.concatenate([acts[ci] for ci in idxs], axis=1)
+            g = jnp.concatenate([grads[ci] for ci in idxs], axis=1)
+            repeats = a.shape[1]
             ones = jnp.ones(a.shape[:-1] + (1,), a.dtype)
             a_aug = jnp.concatenate([a, ones], axis=-1)
             a2 = a_aug.reshape(-1, a_aug.shape[-1])

@@ -124,6 +124,23 @@ def _plugin_kwargs(cfg_value) -> dict:
     return dict(cfg_value)
 
 
+def _shared_states(cfg) -> bool:
+    """Excited states share one parameter tree (upstream parity, default)
+    unless cfg.system.excited_param_copies requests the legacy K-copy mode."""
+    return bool(cfg.system.get("states", 0)) and not cfg.system.get(
+        "excited_param_copies", False)
+
+
+def _state_det_count(cfg) -> int:
+    """Determinants of the BASE network: cfg.network.determinants per state,
+    multiplied by K in the shared construction (each state sums its own
+    determinant group, ref ferminet/networks.py:1273-1311)."""
+    dets = int(cfg.network.determinants)
+    if _shared_states(cfg):
+        dets *= int(cfg.system.states)
+    return dets
+
+
 def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
     from aiqmc_tpu.models import blocks
     blocks.set_matmul_dtype(
@@ -150,7 +167,7 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
             ndim=cfg.system.ndim,
             natoms=int(np.asarray(cfg.system.atoms).shape[0]),
             nelectrons=nelectrons,
-            determinants=cfg.network.determinants,
+            determinants=_state_det_count(cfg),
             num_layers=pf.num_layers, num_heads=pf.num_heads,
             heads_dim=pf.heads_dim,
             mlp_hidden_dims=tuple(pf.mlp_hidden_dims),
@@ -169,7 +186,7 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         ndim=cfg.system.ndim,
         natoms=int(np.asarray(cfg.system.atoms).shape[0]),
         nelectrons=nelectrons,
-        determinants=cfg.network.determinants,
+        determinants=_state_det_count(cfg),
         bias_orbitals=cfg.network.bias_orbitals,
         rescale_inputs=cfg.network.rescale_inputs,
         hidden_dims=tuple(map(tuple, cfg.network.hidden_dims)),
@@ -221,11 +238,20 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         if cfg.network.get("complex_pairs", False):
             raise NotImplementedError(
                 "NES-VMC excited states with the pair complex representation")
-        # Wrap K parameter copies into the NES-VMC total ansatz det[psi_i(x_j)]
-        # (ref ferminet/networks.py:1313-1348); `orbitals` stays the base
-        # network's for the per-state forward-Laplacian energy matrix.
+        # NES-VMC total ansatz det[psi_i(x_j)] (ref networks.py:1313-1348);
+        # `orbitals` stays the base network's for the per-state
+        # forward-Laplacian energy matrix.
         from aiqmc_tpu.models import excited
-        tot_init, tot_apply = excited.make_total_ansatz(network, states)
+        if _shared_states(cfg):
+            # Upstream parameterisation (ref networks.py:1273-1311): shared
+            # layers, K determinant groups — the base network was built with
+            # determinants = K * cfg.network.determinants (_state_det_count).
+            tot_init, tot_apply = excited.make_shared_total_ansatz(
+                network, states)
+        else:
+            # Legacy: K independent parameter copies
+            # (cfg.system.excited_param_copies=True).
+            tot_init, tot_apply = excited.make_total_ansatz(network, states)
         network = nn.Network(init=tot_init, apply=tot_apply,
                              orbitals=network.orbitals)
     return network, (up, down)
@@ -281,7 +307,9 @@ def _build_local_energy(cfg, network):
         # NES-VMC energy matrix over the K-state total ansatz
         # (ref ferminet/hamiltonian.py:165-226,340-394).
         from aiqmc_tpu.hamiltonian import excited as exc_ham
-        return exc_ham.local_energy_matrix(
+        make_mat = (exc_ham.local_energy_matrix_shared if _shared_states(cfg)
+                    else exc_ham.local_energy_matrix)
+        return make_mat(
             network.orbitals,
             charges=jnp.asarray(cfg.system.charges),
             states=states,
