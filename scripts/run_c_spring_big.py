@@ -35,6 +35,11 @@ restore_path = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/runs/c_kfac_big
 damping = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-3
 lr_rate = float(sys.argv[5]) if len(sys.argv) > 5 else 0.01
 mu = float(sys.argv[6]) if len(sys.argv) > 6 else 0.99
+# Trial-architecture overrides: the 67k ainet c_kfac_big trial was lost
+# in the 2026-08-19 box swap; surviving trials (artifacts/c_kfac_fstream,
+# artifacts/c_kfac_wide) use the upstream-FermiNet h-stream.
+h_stream = sys.argv[7] if len(sys.argv) > 7 else "ainet"
+width = int(sys.argv[8]) if len(sys.argv) > 8 else 256
 
 # cfg.optim.iterations counts ADDITIONAL steps from the restored t
 # (train.py loops range(t_init, t_init + iterations)), so pass "extra"
@@ -55,7 +60,8 @@ with cfg.unlocked():
     # Must match runs/c_kfac_big exactly (param tree), except batch/optimizer.
     cfg.system.spins = np.array([1.0, 1.0, 1.0, -1.0])
     cfg.batch_size = 1024
-    cfg.network.hidden_dims = ((256, 32),) * 4
+    cfg.network.hidden_dims = ((width, 32),) * 4
+    cfg.network.h_stream = h_stream
     cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)
     cfg.network.determinants = 16
     cfg.system.pp.quadrature = "icosahedral12"
@@ -88,8 +94,8 @@ with cfg.unlocked():
     cfg.debug.deterministic = True
     cfg.debug.seed = 37
 
-print("SPRING arm: damping=%g lr=%g mu=%g batch=%d"
-      % (damping, lr_rate, mu, cfg.batch_size))
+print("SPRING arm: damping=%g lr=%g mu=%g batch=%d h_stream=%s width=%d"
+      % (damping, lr_rate, mu, cfg.batch_size, h_stream, width))
 result = train_lib.train(cfg)
 tail = result.energies[-max(1, iterations // 5):]
 finite = tail[np.isfinite(tail) & (tail != 0.0)]
