@@ -84,6 +84,97 @@ def make_dipole(signed_network=None):
     return dipole_estimator
 
 
+def _state_matrix_apply(network, states: int, shared: bool):
+    """(sign, log) state-matrix apply with entry [i, j] = psi_i(x_j)."""
+    from aiqmc_tpu.models import excited as excited_lib
+    if shared:
+        return excited_lib.make_shared_state_matrix(network, states)[1]
+    return excited_lib.make_state_matrix(network, states)[1]
+
+
+def make_s2_states(network, nspins: Tuple[int, int], states: int,
+                   shared: bool = True):
+    """NES-VMC S^2 state-matrix estimator (ref ferminet/observables.py:152-209).
+
+    With M[j, i] = psi_i(x_j) over the K-fold extended configuration and
+    (S^2 M)[j, i] = (S^2 psi_i)(x_j) (Wang swap expansion per configuration),
+    the local observable matrix is M^{-1} (S^2 M) — same row-linearity
+    identity as the NES-VMC energy matrix (hamiltonian/excited.py). The
+    batch mean's diagonal gives per-state <S^2>; off-diagonals are the
+    transition matrix elements <psi_k|S^2|psi_i>/<psi_k|psi_k>-style mixing
+    terms used to monitor state purity.
+
+    The upstream evaluates the na*nb swaps in nested ``fori_loop``s of
+    state-matrix calls; here all swaps of all K configurations are ONE
+    batched state-matrix evaluation (MXU-friendly).
+
+    Real (sign-representation) networks only, matching the upstream's
+    spin-assigned-only scope.
+    """
+    sm_apply = _state_matrix_apply(network, states, shared)
+    na, nb = sorted(nspins, reverse=True)
+    nelec = sum(nspins)
+    s2_diagonal = (na - nb) / 2 * ((na - nb) / 2 + 1) + nb
+    nswaps = nspins[0] * nspins[1]
+
+    def s2_estimator(params, data: AINetData) -> jnp.ndarray:
+        if nelec == 1:
+            return jnp.eye(states) * 0.75
+        sign_mat, log_mat = sm_apply(params, data.positions, data.spins,
+                                     data.atoms, data.charges)  # [i, j]
+        log_max = jnp.max(log_mat)
+        psi = (sign_mat * jnp.exp(log_mat - log_max)).T  # M[j, i]
+        s2 = s2_diagonal * psi
+        if nswaps:
+            x = jnp.reshape(data.positions, (states, nelec, -1))
+            xa, xb = x[:, :nspins[0]], x[:, nspins[0]:]
+            ia, ib = np.meshgrid(np.arange(nspins[0]), np.arange(nspins[1]),
+                                 indexing="ij")
+            ia, ib = ia.reshape(-1), ib.reshape(-1)
+
+            def swapped_config(i, j):
+                # Swap alpha-i with beta-j in EVERY one of the K stacked
+                # configurations at once (the operator acts per config row).
+                new_a = xa.at[:, i].set(xb[:, j])
+                new_b = xb.at[:, j].set(xa[:, i])
+                return jnp.concatenate([new_a, new_b], axis=1).reshape(-1)
+
+            configs = jax.vmap(swapped_config)(jnp.asarray(ia),
+                                               jnp.asarray(ib))
+            sign_sw, log_sw = jax.vmap(
+                sm_apply, in_axes=(None, 0, None, None, None))(
+                    params, configs, data.spins, data.atoms, data.charges)
+            # Same log_max shift as psi so the solve below is exact.
+            swaps = sign_sw * jnp.exp(log_sw - log_max)  # (nswaps, i, j)
+            s2 = s2 - jnp.sum(swaps, axis=0).T
+        return jnp.linalg.solve(psi, s2)  # (K, K)
+
+    return s2_estimator
+
+
+def make_dipole_states(network, states: int, shared: bool = True):
+    """NES-VMC dipole state-matrix estimator (ref observables.py:230-274).
+
+    The dipole operator is multiplicative, so (O_d M)[j, i] =
+    m_d(x_j) M[j, i] with m_d(x_j) = -sum_e r_{e,d} of configuration j
+    (electron charge -1, same sign convention as ``make_dipole``; the
+    upstream returns +sum r). Local matrix: M^{-1} diag(m_d) M per
+    component d — batch-mean diagonal gives per-state dipoles,
+    off-diagonals the transition dipoles (oscillator strengths)."""
+    sm_apply = _state_matrix_apply(network, states, shared)
+
+    def dipole_estimator(params, data: AINetData) -> jnp.ndarray:
+        sign_mat, log_mat = sm_apply(params, data.positions, data.spins,
+                                     data.atoms, data.charges)
+        psi = (sign_mat * jnp.exp(log_mat - jnp.max(log_mat))).T  # M[j, i]
+        mean_pos = -jnp.sum(
+            jnp.reshape(data.positions, (states, -1, 3)), axis=1)  # (j, 3)
+        rhs = mean_pos.T[:, :, None] * psi[None]  # (3, j, i) = diag(m_d) M
+        return jnp.linalg.solve(psi[None], rhs)  # (3, K, K)
+
+    return dipole_estimator
+
+
 def make_density(bins: int = 50, limit: float = 5.0,
                  center: Optional[jnp.ndarray] = None):
     """Returns density(data) -> (bins,) radial histogram counts for a batch."""

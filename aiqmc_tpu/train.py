@@ -830,16 +830,41 @@ def train(cfg: ml_collections.ConfigDict,
 
     # Optional observables (ref ferminet/train.py:599-641 wiring).
     obs_fns = {}
+    obs_cols = {}
     density = None
     if cfg.get("observables", None):
         from aiqmc_tpu import observables as obs_lib
+        n_obs_states = cfg.system.get("states", 0)
+        if n_obs_states and _effective_complex(cfg)[0]:
+            raise NotImplementedError(
+                "excited-state observables need a real (sign-representation) "
+                "network, matching the upstream's spin-assigned-only scope")
         if cfg.observables.s2:
-            obs_fns["s2"] = jax.jit(obs_lib.make_observable_fns(
-                obs_lib.make_s2(network.apply, tuple(cfg.system.nspins),
-                                complex_output=_effective_complex(cfg)[0])))
+            if n_obs_states:
+                # NES-VMC S^2 state matrix (per-state diag + transitions).
+                obs_fns["s2"] = jax.jit(obs_lib.make_observable_fns(
+                    obs_lib.make_s2_states(network, tuple(cfg.system.nspins),
+                                           n_obs_states,
+                                           shared=_shared_states(cfg))))
+                obs_cols["s2"] = [f"s2_{i}{j}" for i in range(n_obs_states)
+                                  for j in range(n_obs_states)]
+            else:
+                obs_fns["s2"] = jax.jit(obs_lib.make_observable_fns(
+                    obs_lib.make_s2(network.apply, tuple(cfg.system.nspins),
+                                    complex_output=_effective_complex(cfg)[0])))
+                obs_cols["s2"] = ["s2"]
         if cfg.observables.dipole:
-            obs_fns["dipole"] = jax.jit(obs_lib.make_observable_fns(
-                obs_lib.make_dipole(network.apply)))
+            if n_obs_states:
+                obs_fns["dipole"] = jax.jit(obs_lib.make_observable_fns(
+                    obs_lib.make_dipole_states(network, n_obs_states,
+                                               shared=_shared_states(cfg))))
+                obs_cols["dipole"] = [f"dipole_{d}_{i}{j}" for d in "xyz"
+                                      for i in range(n_obs_states)
+                                      for j in range(n_obs_states)]
+            else:
+                obs_fns["dipole"] = jax.jit(obs_lib.make_observable_fns(
+                    obs_lib.make_dipole(network.apply)))
+                obs_cols["dipole"] = ["dipole_x", "dipole_y", "dipole_z"]
         if cfg.observables.get("density", False):
             # One-RDM with the auxiliary r' chain; chain state + running
             # accumulation live in the checkpoint so a resumed run continues
@@ -893,7 +918,8 @@ def train(cfg: ml_collections.ConfigDict,
         # Surface the step-rejection counter so a stalled (all-rejecting)
         # run is visible in the CSV rather than silently frozen.
         schema.append("guard_rejected")
-    schema += list(obs_fns.keys())
+    for _cols in obs_cols.values():
+        schema += _cols
     # In a multi-process run every host executes this loop; only process 0
     # may touch the (typically shared) save_path — concurrent writes to the
     # same CSV/npz corrupt them (ref drivers are single-host and never hit
@@ -938,8 +964,11 @@ def train(cfg: ml_collections.ConfigDict,
             if np.isfinite(loss_host):
                 ew.update(loss_host)
             if t % cfg.log.stats_frequency == 0:
-                extra = {name: float(np.asarray(fn(params, data)).reshape(-1)[0])
-                         for name, fn in obs_fns.items()}
+                extra = {}
+                for name, fn in obs_fns.items():
+                    vals = np.asarray(fn(params, data)).reshape(-1)
+                    extra.update({c: float(v)
+                                  for c, v in zip(obs_cols[name], vals)})
                 if density is not None:
                     key, subkey = jax.random.split(key)
                     density["state"] = density["update"](

@@ -254,6 +254,50 @@ def test_train_driver_shared_states_kfac_smoke():
     assert np.all(np.isfinite(result.energies))
 
 
+def test_train_driver_states_observables_csv():
+    """With cfg.observables.{s2,dipole} on an excited-state run, the train
+    loop must log the FULL NES-VMC state matrices (per-state diagonal +
+    transition elements) as s2_ij / dipole_d_ij CSV columns (ref
+    ferminet/observables.py:152-274 supports states; a scalar column would
+    silently average garbage over the extended configuration)."""
+    import csv
+    import os
+    import tempfile
+    from aiqmc_tpu import config as config_lib, train
+
+    cfg = config_lib.default()
+    with cfg.unlocked():
+        cfg.system.atoms = np.array([[0.0, 0.0, 0.0]])
+        cfg.system.charges = np.array([2.0])
+        cfg.system.spins = np.array([1.0, -1.0])
+        cfg.system.states = 2
+        cfg.batch_size = 16
+        cfg.optim.iterations = 2
+        cfg.optim.optimizer = "adam"
+        cfg.mcmc.steps = 2
+        cfg.mcmc.burn_in = 2
+        cfg.network.hidden_dims = ((8, 4), (8, 4))
+        cfg.network.hidden_dims_ynlm = (4, 4)
+        cfg.observables.s2 = True
+        cfg.observables.dipole = True
+        cfg.debug.deterministic = True
+        cfg.log.save_frequency = 1e9
+        cfg.log.stats_frequency = 1
+    with tempfile.TemporaryDirectory() as tmp:
+        with cfg.unlocked():
+            cfg.log.save_path = tmp
+        train.train(cfg)
+        with open(os.path.join(tmp, "train_states.csv")) as f:
+            rows = list(csv.DictReader(f))
+    want_cols = [f"s2_{i}{j}" for i in range(2) for j in range(2)]
+    want_cols += [f"dipole_{d}_{i}{j}" for d in "xyz"
+                  for i in range(2) for j in range(2)]
+    assert rows, "no stats rows written"
+    for col in want_cols:
+        assert col in rows[-1], f"missing observable column {col}"
+        assert np.isfinite(float(rows[-1][col])), (col, rows[-1][col])
+
+
 def test_train_driver_legacy_param_copies_flag():
     """cfg.system.excited_param_copies=True selects the K-copy construction:
     params restore as a list of K trees (legacy checkpoints stay loadable)."""

@@ -70,6 +70,96 @@ def test_density_histogram():
     assert hist[2] == 1  # r = 1.0 in bin [1.0, 1.5)
 
 
+def _shared_net(nelec, nspins, spins, charges, determinants):
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelec)
+    up, down = spin_indices.spin_indices_h(spins)
+    return nn.make_ai_net(
+        nspins=nspins, charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=1,
+        nelectrons=nelec, full_equivariance=True, complex_orbitals=False,
+        bounded_envelope=True, regular_harmonics=True,
+        determinants=determinants, hidden_dims=((8, 4), (8, 4)),
+        hidden_dims_Ynlm=(4, 4))
+
+
+def test_s2_states_one_state_reduces_to_scalar():
+    """K=1 state-matrix S^2 (independent path) == the plain scalar estimator:
+    the 1x1 solve is a division and the batched swap machinery must reproduce
+    the single-configuration swap sum exactly."""
+    net, spins, atoms, charges = _net(4)
+    params = net.init(jax.random.PRNGKey(0))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (12,))
+    data = AINetData(positions=pos, spins=spins, atoms=atoms, charges=charges)
+    want = float(observables.make_s2(net.apply, (2, 2))(params, data))
+    got = observables.make_s2_states(net, (2, 2), states=1, shared=False)(
+        [params], data)
+    assert got.shape == (1, 1)
+    np.testing.assert_allclose(float(got[0, 0]), want, rtol=1e-5)
+
+
+def test_s2_states_trace_equals_total_ansatz_swaps():
+    """tr(M^{-1} S^2 M) == sum_k [S^2_k Psi]/Psi for Psi = det(M): the same
+    row-linearity identity the NES-VMC energy matrix relies on, evaluated
+    here by applying each spin swap to ONE configuration of the extended
+    ansatz directly."""
+    from aiqmc_tpu.models import excited
+
+    spins = np.array([1.0, 1.0, -1.0])
+    nel, states, ndets = 3, 2, 2
+    nspins = (2, 1)
+    atoms = jnp.zeros((1, 3))
+    charges = jnp.array([3.0])
+    base = _shared_net(nel, nspins, spins, charges, states * ndets)
+    init, tot_apply = excited.make_shared_total_ansatz(base, states)
+    params = init(jax.random.PRNGKey(3))
+    positions = jax.random.normal(jax.random.PRNGKey(4), (states * nel * 3,))
+    data = AINetData(positions=positions, spins=jnp.asarray(spins),
+                     atoms=atoms, charges=charges)
+
+    mat = observables.make_s2_states(base, nspins, states, shared=True)(
+        params, data)
+    assert mat.shape == (states, states)
+
+    na, nb = nspins
+    s2_diag = (na - nb) / 2 * ((na - nb) / 2 + 1) + nb
+    sign0, log0 = tot_apply(params, positions, data.spins, atoms, charges)
+    total = states * s2_diag
+    x = positions.reshape(states, nel, 3)
+    for k in range(states):
+        for ia in range(na):
+            for ib in range(nb):
+                xk = x[k]
+                new = xk.at[ia].set(xk[na + ib]).at[na + ib].set(xk[ia])
+                xs = x.at[k].set(new).reshape(-1)
+                s, l = tot_apply(params, xs, data.spins, atoms, charges)
+                total -= float(sign0 * s * jnp.exp(l - log0))
+    np.testing.assert_allclose(float(jnp.trace(mat)), total, rtol=1e-4)
+
+
+def test_dipole_states_trace_is_exact():
+    """tr(M^{-1} diag(m_d) M) = sum_j m_d(x_j) for any nonsingular M —
+    the per-component trace of the dipole state matrix must equal the plain
+    position sum over every configuration, to solver precision."""
+    from aiqmc_tpu.models import excited  # noqa: F401  (exercises the import path)
+
+    spins = np.array([1.0, -1.0])
+    nel, states, ndets = 2, 2, 2
+    atoms = jnp.zeros((1, 3))
+    charges = jnp.array([2.0])
+    base = _shared_net(nel, (1, 1), spins, charges, states * ndets)
+    params = base.init(jax.random.PRNGKey(7))
+    positions = jax.random.normal(jax.random.PRNGKey(8), (states * nel * 3,))
+    data = AINetData(positions=positions, spins=jnp.asarray(spins),
+                     atoms=atoms, charges=charges)
+    mom = observables.make_dipole_states(base, states, shared=True)(
+        params, data)
+    assert mom.shape == (3, states, states)
+    want = -positions.reshape(states * nel, 3).sum(axis=0)
+    got = np.trace(np.asarray(mom), axis1=1, axis2=2)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
 def test_s2_angle_representation_matches_sign():
     """S^2 on a phase-ANGLE network (complex/pair/twisted-real mode) must
     equal the +-1-sign evaluation of the same wavefunction: spin swaps
