@@ -27,6 +27,7 @@ keeps the batched-tangent implementation).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict
 
 import jax
@@ -369,14 +370,37 @@ def _reduce_prod_rule(ndirs, eqn, a):
     return FwdLap(out, jac, lap)
 
 
+def _tangent_dot_precision():
+    """Optional precision override for TANGENT-propagation dots.
+
+    The primal chain keeps the package-wide matmul pin (highest — the
+    2026-08-18 bf16 corruption lives in forward values amplified by the
+    determinant tail), but the Jacobian/Laplacian propagation dots are the
+    FLOPs-heavy part of the forward Laplacian (ndirs = nelec*ndim extra
+    contractions per layer) and enter E_L linearly, without the sign-flip
+    amplification. AIQMC_FWDLAP_TANGENT_PRECISION=default relaxes ONLY those
+    dots — a selective-precision lever for the VERDICT-r2 throughput item,
+    to be trusted on a backend only after scripts/probe_el_cross_device.py
+    and both forward probes PASS with the variable set."""
+    name = os.environ.get("AIQMC_FWDLAP_TANGENT_PRECISION", "")
+    if not name:
+        return None
+    return jax.lax.Precision(name.lower())
+
+
 @_rule("dot_general")
 def _dot_rule(ndirs, eqn, a, b):
     av = a.x if _is_fl(a) else a
     bv = b.x if _is_fl(b) else b
     out = _bind(eqn, av, bv)
+    tangent_prec = _tangent_dot_precision()
 
     def dot(x, y):
-        return _bind(eqn, x, y)
+        if tangent_prec is None:
+            return _bind(eqn, x, y)
+        params = dict(eqn.params)
+        params["precision"] = (tangent_prec, tangent_prec)
+        return eqn.primitive.bind(x, y, **params)
 
     jac_terms = []
     lap = jnp.zeros_like(out)

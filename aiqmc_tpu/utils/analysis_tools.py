@@ -134,3 +134,51 @@ def robust_block_stats(blocks: np.ndarray, nmad: float = 5.0
         "nblocks": int(kept.size),
         "noutliers": int(blocks.size - kept.size),
     }
+
+
+def excited_state_summary(path: str, states: int,
+                          burn_fraction: float = 0.2) -> Dict[str, object]:
+    """Spectroscopy summary of a NES-VMC excited-states run.
+
+    Consumes the per-state energy columns and the S^2 / dipole STATE-MATRIX
+    columns the train loop logs for ``cfg.system.states`` runs
+    (``s2_ij``, ``dipole_{x,y,z}_ij``) and reports, per excited state k:
+
+      * the vertical excitation energy dE_k = E_k - E_0 (Ha),
+      * <S^2>_k (state purity / multiplicity diagnostic),
+      * the transition dipole strength |<0|r|k>|^2 and the length-gauge
+        oscillator strength f_0k = (2/3) dE_k |<0|r|k>|^2.
+
+    NES-VMC states are unnormalised and non-orthogonal, so a single
+    off-diagonal matrix element carries normalisation factors; the PRODUCT
+    O_0k * O_k0 of the Monte-Carlo state-matrix expectations cancels them
+    exactly (Pfau, Axelrod, Huang & Cassella 2023, "Natural excited states
+    of quantum systems" — the same recipe the upstream applies to its
+    observable matrices), giving the physical |<0|O|k>|^2 per component.
+    """
+    stats = read_train_stats(path)
+    burn = int(len(stats["energy"]) * burn_fraction)
+
+    def col_mean(name):
+        v = stats[name][burn:]
+        v = v[np.isfinite(v)]
+        return float(v.mean()) if v.size else float("nan")
+
+    energies = [col_mean(f"energy_state_{k}") for k in range(states)]
+    out: Dict[str, object] = {"energies": energies}
+    if f"s2_{0}{0}" in stats:
+        out["s2"] = [col_mean(f"s2_{k}{k}") for k in range(states)]
+    if f"dipole_x_{0}{0}" in stats:
+        transitions = []
+        for k in range(1, states):
+            de = energies[k] - energies[0]
+            d2 = sum(col_mean(f"dipole_{d}_0{k}") * col_mean(f"dipole_{d}_{k}0")
+                     for d in "xyz")
+            transitions.append({
+                "state": k,
+                "excitation_ha": de,
+                "dipole_strength": d2,
+                "oscillator_strength": 2.0 / 3.0 * de * d2,
+            })
+        out["transitions"] = transitions
+    return out

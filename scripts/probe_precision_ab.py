@@ -58,10 +58,22 @@ def main():
     pinned = run_arm("pinned (production)", {})
     unpinned = run_arm("default-precision (timing only, physics INVALID)",
                        {"AIQMC_MATMUL_PRECISION": "default"})
+    # Arm C: SELECTIVE — the global pin stays (trusted physics for every
+    # forward value), but the forward-Laplacian TANGENT-propagation dots
+    # (the ndirs-wide Jacobian/Laplacian contractions, the FLOPs-heavy part
+    # of the kinetic) run at default precision. If C recovers most of the
+    # A->B gap it becomes a production candidate, gated by the cross-device
+    # oracle + both forward probes run WITH the variable set.
+    selective = run_arm("selective (pin + tangent dots default)",
+                        {"AIQMC_FWDLAP_TANGENT_PRECISION": "default"})
     if pinned and unpinned:
         cost = (unpinned - pinned) / unpinned * 100.0
         print(f"pin cost on this box: {cost:.1f}% "
               f"({unpinned:,.0f} -> {pinned:,.0f})")
+        if selective:
+            rec = (selective - pinned) / max(1.0, unpinned - pinned) * 100.0
+            print(f"selective arm recovers {rec:.0f}% of the pin cost "
+                  f"({pinned:,.0f} -> {selective:,.0f})")
         print("VERDICT:", "PIN_IRREDUCIBLE_NOISE" if cost <= 3.0
               else "SELECTIVE_PRECISION_WORTH_PURSUING")
 

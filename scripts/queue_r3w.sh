@@ -42,6 +42,13 @@ run_stage () {  # name timeout_s cmd...
 }
 
 run_stage probe_precision_ab 3600 python -u scripts/probe_precision_ab.py
+# Correctness gate for the selective arm measured above: the forward kinetic
+# with AIQMC_FWDLAP_TANGENT_PRECISION=default vs the PINNED batched-tangent
+# kinetic, on-chip, same inputs. PASS here (+ the probe_precision_ab arm-C
+# recovery number) is what a production flip of the variable requires.
+run_stage probe_forward_selective 2400 env \
+  AIQMC_FWDLAP_TANGENT_PRECISION=default \
+  python -u scripts/probe_forward_real.py
 run_stage bench_slogdet_pallas 2400 python -u scripts/bench_slogdet_pallas.py
 # Restore source: runs/c_kfac_fstream if the session kept it, else artifacts.
 SPRING_FROM=/root/repo/runs/c_kfac_fstream

@@ -314,3 +314,27 @@ def test_twisted_real_forward_kinetic():
     ke_fwd = fl.make_forward_kinetic_pair(netT.orbitals, twist_k=kvec)
     _assert_pair_ke_match(net, params, spins, atoms, charges, ke_ref, ke_fwd,
                           range(17, 19))
+
+
+def test_tangent_dot_precision_override(monkeypatch):
+    """AIQMC_FWDLAP_TANGENT_PRECISION rebinds ONLY the tangent-propagation
+    dots with the requested precision; on CPU (where matmul precision is a
+    no-op) every arm must be bit-compatible with the pinned run — this guards
+    the eqn-param rebind plumbing, the numerics are the chip probe's job
+    (scripts/probe_forward_real.py with the variable set)."""
+    def f(x):
+        w = jnp.arange(12.0).reshape(3, 4) / 10.0
+        return jnp.tanh(x @ w).sum()
+
+    x = jnp.array([0.3, -0.2, 0.7])
+
+    def leaves(r):
+        return [np.asarray(r.x), np.asarray(r.jac), np.asarray(r.lap)]
+
+    monkeypatch.delenv("AIQMC_FWDLAP_TANGENT_PRECISION", raising=False)
+    base = leaves(fl.forward_laplacian(f)(x))
+    for prec in ("default", "highest"):
+        monkeypatch.setenv("AIQMC_FWDLAP_TANGENT_PRECISION", prec)
+        got = leaves(fl.forward_laplacian(f)(x))
+        for a, b in zip(base, got):
+            np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -179,3 +179,39 @@ def test_s2_angle_representation_matches_sign():
     got = float(observables.make_s2(twisted.apply, (2, 2),
                                     complex_output=True)(params, data))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_excited_state_summary(tmp_path):
+    """excited_state_summary: per-state energies/S^2 from the diagonal
+    columns; oscillator strength f = (2/3) dE * sum_d O^d_0k O^d_k0 with the
+    normalisation-cancelling product of off-diagonal dipole elements."""
+    import csv as csv_mod
+    from aiqmc_tpu.utils import analysis_tools
+
+    path = tmp_path / "train_states.csv"
+    cols = ["energy", "energy_state_0", "energy_state_1",
+            "s2_00", "s2_01", "s2_10", "s2_11"]
+    cols += [f"dipole_{d}_{i}{j}" for d in "xyz" for i in range(2)
+             for j in range(2)]
+    row = {"energy": -5.0, "energy_state_0": -3.0, "energy_state_1": -2.5,
+           "s2_00": 0.75, "s2_01": 0.0, "s2_10": 0.0, "s2_11": 2.0}
+    # O_0k = 0.4/0.0/0.0, O_k0 = 0.1/0.0/0.0 -> |<0|r|1>|^2 = 0.04.
+    for d in "xyz":
+        for i in range(2):
+            for j in range(2):
+                row[f"dipole_{d}_{i}{j}"] = 0.0
+    row["dipole_x_01"], row["dipole_x_10"] = 0.4, 0.1
+    with open(path, "w", newline="") as f:
+        w = csv_mod.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        for _ in range(10):
+            w.writerow(row)
+
+    out = analysis_tools.excited_state_summary(str(path), states=2)
+    np.testing.assert_allclose(out["energies"], [-3.0, -2.5])
+    np.testing.assert_allclose(out["s2"], [0.75, 2.0])
+    t = out["transitions"][0]
+    np.testing.assert_allclose(t["excitation_ha"], 0.5)
+    np.testing.assert_allclose(t["dipole_strength"], 0.04)
+    np.testing.assert_allclose(t["oscillator_strength"],
+                               2.0 / 3.0 * 0.5 * 0.04)
