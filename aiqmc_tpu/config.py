@@ -143,6 +143,15 @@ def default() -> ml_collections.ConfigDict:
             "init_width": 1.0,
             "move_width": 0.2,          # random_walk proposal width
             "adapt_frequency": 100,
+            # random_walk only: per-electron proposal widths scaled by the
+            # harmonic-mean nuclear distance with the detailed-balance
+            # asymmetry correction (ref ferminet/mcmc.py:118-148) — core
+            # electrons take short steps, valence long ones; the acceptance
+            # equaliser for heavy all-electron systems (e.g. Si Z=14).
+            "scale_by_nuclear_distance": False,
+            # random_walk only: split electrons into this many groups with
+            # separate proposals per step (ref ferminet/mcmc.py:151-218).
+            "blocks": 1,
         },
         "system": {
             "atoms": None,              # (natoms, 3)

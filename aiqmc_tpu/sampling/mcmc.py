@@ -34,17 +34,66 @@ def mh_update(logprob_fn, x1, lp1, key, width) -> Tuple[jnp.ndarray, jnp.ndarray
     return x_new, lp_new, jnp.mean(cond.astype(x1.dtype))
 
 
+def _harmonic_mean(x, atoms, ndim: int):
+    """Per-electron harmonic mean of the distances to all nuclei.
+
+    x: (batch, nelec*ndim) -> (batch, nelec). The harmonic mean is small near
+    a nucleus and ~r far away, so scaling the proposal width by it gives core
+    electrons short steps and valence electrons long ones (ref
+    ferminet/mcmc.py:29-45) — the acceptance-rate equaliser that matters for
+    heavy (large-Z) all-electron systems."""
+    xe = jnp.reshape(x, (x.shape[0], -1, 1, ndim))
+    r_ae = jnp.linalg.norm(xe - atoms[None, None], axis=-1)  # (b, ne, natom)
+    return 1.0 / jnp.mean(1.0 / r_ae, axis=-1)
+
+
+def _log_q_gaussian(x, mu, sigma, ndim: int):
+    """log of the anisotropic proposal density q(x | mu, sigma) summed over
+    electrons; sigma: (batch, nelec) per-electron isotropic widths."""
+    d2 = jnp.sum(jnp.reshape(x - mu, (x.shape[0], -1, ndim)) ** 2, axis=-1)
+    return jnp.sum(-0.5 * d2 / sigma ** 2 - ndim * jnp.log(sigma), axis=-1)
+
+
+def mh_update_asymmetric(logprob_fn, x1, lp1, key, width, atoms, ndim=3):
+    """One MH update with per-electron widths ~ N(0, (width * h_i)^2), h_i the
+    harmonic-mean nuclear distance, and the detailed-balance correction
+    lq(reverse) - lq(forward) in the acceptance ratio (ref
+    ferminet/mcmc.py:118-148, cfg.mcmc.scale_by_nuclear_distance)."""
+    key, proposal_key, accept_key = jax.random.split(key, num=3)
+    h1 = _harmonic_mean(x1, atoms, ndim)              # (batch, nelec)
+    sigma1 = width * h1
+    eps = jax.random.normal(proposal_key, shape=(x1.shape[0],
+                                                 h1.shape[1], ndim))
+    x2 = x1 + jnp.reshape(sigma1[..., None] * eps, x1.shape)
+    lp2 = logprob_fn(x2)
+    sigma2 = width * _harmonic_mean(x2, atoms, ndim)
+    lq_fwd = _log_q_gaussian(x2, x1, sigma1, ndim)
+    lq_rev = _log_q_gaussian(x1, x2, sigma2, ndim)
+    ratio = lp2 + lq_rev - lp1 - lq_fwd
+    rnd = jnp.log(jax.random.uniform(accept_key, shape=lp1.shape))
+    cond = (ratio > rnd) | (~jnp.isfinite(lp1) & jnp.isfinite(lp2))
+    x_new = jnp.where(cond[:, None], x2, x1)
+    lp_new = jnp.where(cond, lp2, lp1)
+    return x_new, lp_new, jnp.mean(cond.astype(x1.dtype))
+
+
 def make_mcmc_step(batch_network, batch_per_device: int, steps: int = 10,
                    lattice=None, blocks: int = 1, nelectrons: int = None,
-                   ndim: int = 3):
+                   ndim: int = 3, scale_by_nuclear_distance: bool = False):
     """Builds mcmc_step(params, data, key, width) -> (new_data, pmove).
 
     blocks > 1 splits the electrons into that many groups and proposes each
     group's move separately within a step (ref ferminet/mcmc.py:151-218
-    mh_block_update) — cheaper mixing for large electron counts."""
+    mh_block_update) — cheaper mixing for large electron counts.
+
+    scale_by_nuclear_distance: harmonic-mean-scaled asymmetric proposals
+    (ref ferminet/mcmc.py:118-148); mutually exclusive with blocks > 1,
+    matching the upstream (its block update is symmetric-only)."""
     del batch_per_device
     if blocks > 1 and nelectrons is None:
         raise ValueError("blocks > 1 requires nelectrons")
+    if scale_by_nuclear_distance and blocks > 1:
+        raise ValueError("scale_by_nuclear_distance requires blocks == 1")
     if blocks > 1:
         import numpy as np
         masks = []
@@ -77,6 +126,10 @@ def make_mcmc_step(batch_network, batch_per_device: int, steps: int = 10,
                     x = jnp.where(cond[:, None], x2, x)
                     lp = jnp.where(cond, lp2, lp)
                     pmove += jnp.mean(cond.astype(x.dtype)) / blocks
+            elif scale_by_nuclear_distance:
+                key, subkey = jax.random.split(key)
+                x, lp, pmove = mh_update_asymmetric(
+                    logprob, x, lp, subkey, width, data.atoms, ndim)
             else:
                 key, subkey = jax.random.split(key)
                 x, lp, pmove = mh_update(logprob, x, lp, subkey, width)

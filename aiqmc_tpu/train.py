@@ -420,7 +420,10 @@ def _build_mcmc(cfg, network, batch_size: int):
         in_axes=(None, 0, None, None, None))
     return rw_mcmc.make_mcmc_step(
         batch_network, batch_size, steps=cfg.mcmc.steps, lattice=lattice,
-        blocks=cfg.mcmc.get("blocks", 1), nelectrons=nelectrons)
+        blocks=cfg.mcmc.get("blocks", 1), nelectrons=nelectrons,
+        ndim=cfg.system.ndim,
+        scale_by_nuclear_distance=cfg.mcmc.get("scale_by_nuclear_distance",
+                                               False))
 
 
 def make_learning_rate_schedule(cfg):

@@ -141,3 +141,58 @@ def test_block_moves_stationary_gaussian():
     var = np.asarray(data.positions).reshape(-1).var()
     assert abs(var - 1.0) < 0.08, f"coordinate variance {var:.3f}, want 1.0"
     assert 0.1 < float(pmove) < 1.0
+
+
+def test_asymmetric_proposal_preserves_stationary_distribution():
+    """Harmonic-mean-scaled proposals are ASYMMETRIC — without the
+    lq(reverse)-lq(forward) correction the chain converges to the wrong
+    distribution. Oracle: one electron in psi = e^{-2r} => p(r) ~ r^2 e^{-4r},
+    E[r] = 3/4 exactly; the asymmetric chain must reproduce it."""
+    from aiqmc_tpu.sampling import mcmc
+
+    atoms = jnp.zeros((1, 3))
+
+    def logprob(x):
+        r = jnp.linalg.norm(x.reshape(x.shape[0], -1, 3), axis=-1)
+        return -4.0 * jnp.sum(r, axis=-1)
+
+    batch = 1024
+    key = jax.random.PRNGKey(0)
+    key, sub = jax.random.split(key)
+    x = 0.5 * jax.random.normal(sub, (batch, 3)) + 0.5
+    lp = logprob(x)
+
+    @jax.jit
+    def step(x, lp, key):
+        return mcmc.mh_update_asymmetric(logprob, x, lp, key, 0.4, atoms)
+
+    pmoves = []
+    for _ in range(400):
+        key, sub = jax.random.split(key)
+        x, lp, pm = step(x, lp, sub)
+        pmoves.append(float(pm))
+    r = np.linalg.norm(np.asarray(x), axis=-1)
+    assert 0.3 < np.mean(pmoves[-100:]) < 0.9
+    np.testing.assert_allclose(r.mean(), 0.75, atol=0.02)
+
+
+def test_asymmetric_flag_wiring():
+    """make_mcmc_step(scale_by_nuclear_distance=True) must run and refuse the
+    (unsupported, upstream-matching) combination with blocks > 1."""
+    from aiqmc_tpu.sampling import mcmc
+    from aiqmc_tpu.models.network import AINetData
+
+    def batch_net(params, x, spins, atoms, charges):
+        return -jnp.sum(x.reshape(x.shape[0], -1, 3) ** 2, axis=(-1, -2))
+
+    step = mcmc.make_mcmc_step(batch_net, 0, steps=3,
+                               scale_by_nuclear_distance=True)
+    data = AINetData(positions=jnp.ones((8, 6)),
+                     spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.zeros((1, 3)), charges=jnp.ones((1,)))
+    new_data, pmove = step(None, data, jax.random.PRNGKey(0), 0.2)
+    assert new_data.positions.shape == (8, 6)
+    assert np.isfinite(float(pmove))
+    with np.testing.assert_raises(ValueError):
+        mcmc.make_mcmc_step(batch_net, 0, steps=3, blocks=2, nelectrons=2,
+                            scale_by_nuclear_distance=True)
