@@ -25,6 +25,7 @@ import numpy as np
 class EnvelopeType(enum.Enum):
     PP_LIKE = enum.auto()      # AIQMC flexible-Gaussian (models.envelope)
     ISOTROPIC = enum.auto()
+    BOTTLENECK = enum.auto()
     DIAGONAL = enum.auto()
     FULL = enum.auto()
     STO = enum.auto()
@@ -81,6 +82,29 @@ def make_full_envelope():
         rotated = jnp.einsum("iad,adko->iako", ae, params["sigma"])
         r_eff = jnp.sqrt(jnp.sum(jnp.square(rotated), axis=2) + 1e-12)
         return jnp.sum(params["pi"][None] * jnp.exp(-r_eff), axis=1)
+
+    return init, apply
+
+
+def make_bottleneck_envelope(nenv: int = 16):
+    """nenv shared isotropic envelopes linearly projected onto the norb
+    orbitals (ref envelopes.py:127-167): O(natom*nenv + nenv*norb) params
+    instead of O(natom*norb) — the space saver for many-determinant nets,
+    slightly more expressive than isotropic, occasionally noisier."""
+
+    def init(natom: int, norb: int, ndim: int = 3) -> Mapping:
+        del ndim
+        return {"pi": jnp.ones((natom, nenv)),
+                "sigma": jnp.ones((natom, nenv)),
+                "w": jnp.ones((nenv, norb)) / nenv}
+
+    def apply(r_ae, ae, params):
+        del ae
+        r = r_ae[..., 0][:, :, None]  # (nelec, natoms, 1)
+        envs = jnp.sum(params["pi"][None] *
+                       jnp.exp(-jnp.abs(params["sigma"])[None] * r),
+                       axis=1)  # (nelec, nenv)
+        return envs @ params["w"]  # (nelec, norb)
 
     return init, apply
 
@@ -266,6 +290,7 @@ def get_envelope(envelope_type: EnvelopeType, **kwargs):
     """Registry (ref envelopes.py:295-318)."""
     builders = {
         EnvelopeType.ISOTROPIC: make_isotropic_envelope,
+        EnvelopeType.BOTTLENECK: make_bottleneck_envelope,
         EnvelopeType.DIAGONAL: make_diagonal_envelope,
         EnvelopeType.FULL: make_full_envelope,
         EnvelopeType.STO: make_sto_envelope,

@@ -12,7 +12,8 @@ NELEC, NATOMS, NORB = 3, 2, 3
 
 
 @pytest.mark.parametrize("env_type", [
-    zoo.EnvelopeType.ISOTROPIC, zoo.EnvelopeType.DIAGONAL,
+    zoo.EnvelopeType.ISOTROPIC, zoo.EnvelopeType.BOTTLENECK,
+    zoo.EnvelopeType.DIAGONAL,
     zoo.EnvelopeType.FULL, zoo.EnvelopeType.STO, zoo.EnvelopeType.STO_POLY,
 ])
 def test_envelope_shapes_and_decay(env_type):
@@ -142,7 +143,7 @@ def test_network_with_gto_envelope_antisymmetry():
     np.testing.assert_allclose(float(phase2), -float(phase1), atol=1e-6)
 
 
-@pytest.mark.parametrize("env_type", ["isotropic", "sto_poly", "null"])
+@pytest.mark.parametrize("env_type", ["isotropic", "bottleneck", "sto_poly", "null"])
 def test_network_with_zoo_envelope(env_type):
     nelec = 4
     spins = np.array([1.0, 1.0, -1.0, -1.0])
