@@ -138,6 +138,56 @@ def make_pretrain_step(network_orbitals,
     return step
 
 
+def make_pretrain_states_step(network_orbitals,
+                              batch_logabs_total,
+                              target_fns,
+                              optimizer: optax.GradientTransformation,
+                              nspins: Tuple[int, int],
+                              states: int,
+                              mcmc_width: float = 0.2,
+                              mcmc_steps: int = 5):
+    """Excited-state pretraining step (ref ferminet/pretrain.py:150-196):
+    determinant group k of the shared network, evaluated at configuration k of
+    the extended walker, targets the k-th mean-field determinant
+    (ground + lowest excitations); MCMC runs on the current TOTAL ansatz
+    |det M|^2 so walkers sample the distribution training will use."""
+    n_up = nspins[0]
+
+    def loss_fn(params, data: AINetData):
+        def single(pos):
+            configs = jnp.reshape(pos, (states, -1))
+            total = 0.0
+            for k in range(states):
+                dets = network_orbitals(params, configs[k], data.spins,
+                                        data.atoms, data.charges)[0]
+                if isinstance(dets, tuple):
+                    dets = dets[0]
+                ndets_k = dets.shape[0] // states
+                group = dets[k * ndets_k:(k + 1) * ndets_k]
+                phi_up, phi_down = target_fns[k](configs[k])
+                nelec = group.shape[-1]
+                tgt = jnp.zeros((nelec, nelec), group.dtype)
+                tgt = tgt.at[:n_up, :n_up].set(phi_up)
+                tgt = tgt.at[n_up:, n_up:].set(phi_down)
+                total = total + jnp.mean(jnp.square(group.real - tgt[None]))
+            return total / states
+
+        return jnp.mean(jax.vmap(single)(data.positions))
+
+    mcmc_step = rw_mcmc.make_mcmc_step(batch_logabs_total, 0,
+                                       steps=mcmc_steps)
+
+    def step(params, opt_state, data: AINetData, key: chex.PRNGKey):
+        loss, grad = jax.value_and_grad(loss_fn)(params, data)
+        updates, opt_state = optimizer.update(grad, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        key, subkey = jax.random.split(key)
+        data, pmove = mcmc_step(params, data, subkey, mcmc_width)
+        return params, opt_state, data, loss, pmove
+
+    return step
+
+
 def make_rhf_targets(atoms, charges, nspins: Tuple[int, int],
                      basis=None) -> TargetOrbitals:
     """Hartree-Fock pretraining targets from the built-in RHF solver
@@ -200,17 +250,27 @@ def pretrain_orbitals(network,
                       key: Optional[chex.PRNGKey] = None,
                       params=None,
                       pp_cfg=None,
-                      basis=None):
+                      basis=None,
+                      states: int = 0):
     """Pretrains network orbitals (ref pretrain.py:230-311). Returns
     (params, data). target: 'rhf' (default), 'uhf' (open-shell per-spin
     orbitals) or 'hydrogenic'; ``basis`` selects the SCF basis (None =
     STO-3G/even-tempered, or an nwchem file path for cc-pVDZ-class targets).
-    With pp_cfg set, 'rhf' targets come from the valence ECP-RHF."""
+    With pp_cfg set, 'rhf' targets come from the valence ECP-RHF.
+
+    states > 0: NES-VMC excited-state pretraining of the SHARED-parameter
+    network (determinants = states * ndets): each determinant group targets
+    its own mean-field determinant (ground + lowest S_z-preserving
+    excitations; ref ferminet/pretrain.py:150-196, utils/scf.py:302)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     if params is None:
         key, subkey = jax.random.split(key)
         params = network.init(subkey)
+    if states:
+        return _pretrain_orbitals_states(
+            network, data, nspins, states, iterations, learning_rate,
+            target, key, params, pp_cfg, basis)
     if target_fn is None:
         if target in ("rhf", "uhf"):
             try:
@@ -245,6 +305,55 @@ def pretrain_orbitals(network,
         in_axes=(None, 0, None, None, None))
     step = jax.jit(make_pretrain_step(
         network.orbitals, batch_network, target_fn, optimizer, nspins))
+    for _ in range(iterations):
+        key, subkey = jax.random.split(key)
+        params, opt_state, data, loss, pmove = step(params, opt_state, data,
+                                                    subkey)
+    return params, data
+
+
+def _pretrain_orbitals_states(network, data, nspins, states, iterations,
+                              learning_rate, target, key, params, pp_cfg,
+                              basis):
+    """Shared-network excited-state pretraining (see pretrain_orbitals)."""
+    from aiqmc_tpu.models import excited as excited_lib
+    from aiqmc_tpu.utils import scf as scf_lib
+
+    atoms = np.asarray(data.atoms)
+    charges = np.asarray(data.charges)
+    nelectrons = sum(nspins)
+    if pp_cfg is not None:
+        from aiqmc_tpu.utils import ecp_scf
+        z_eff = charges.astype(float)
+        n_rhf = nelectrons if nelectrons % 2 == 0 else nelectrons + 1
+        result = ecp_scf.run_rhf_ecp(
+            atoms, (z_eff + 2).astype(int), z_eff,
+            rn_local=np.asarray(pp_cfg.rn_local),
+            local_coes=np.asarray(pp_cfg.local_coes),
+            local_exps=np.asarray(pp_cfg.local_exps),
+            rn_non_local=np.asarray(pp_cfg.rn_non_local),
+            non_local_coes=np.asarray(pp_cfg.non_local_coes),
+            non_local_exps=np.asarray(pp_cfg.non_local_exps),
+            nelectrons=n_rhf, list_l=pp_cfg.list_l)
+    elif target == "uhf":
+        result = scf_lib.run_uhf(atoms, charges, nspins=nspins, basis=basis)
+    else:
+        n_rhf = nelectrons if nelectrons % 2 == 0 else nelectrons + 1
+        result = scf_lib.run_rhf(atoms, charges, nelectrons=n_rhf,
+                                 basis=basis)
+    target_fns = scf_lib.make_excited_target_list(result, nspins, states)
+
+    # MCMC samples |det M|^2 of the CURRENT shared total ansatz.
+    _, tot_apply = excited_lib.make_shared_total_ansatz(network, states)
+    batch_logabs = jax.vmap(
+        lambda p, x, s, a, c: tot_apply(p, x, s, a, c)[1],
+        in_axes=(None, 0, None, None, None))
+
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_pretrain_states_step(
+        network.orbitals, batch_logabs, target_fns, optimizer, nspins,
+        states))
     for _ in range(iterations):
         key, subkey = jax.random.split(key)
         params, opt_state, data, loss, pmove = step(params, opt_state, data,

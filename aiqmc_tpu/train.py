@@ -741,8 +741,12 @@ def train(cfg: ml_collections.ConfigDict,
                     "the saving run must set cfg.optim.ema_decay > 0")
             params = ema_restored
     elif (cfg.get("pretrain", None) and cfg.pretrain.iterations > 0
-          and not cfg.system.get("states", 0)):
+          and (not cfg.system.get("states", 0) or _shared_states(cfg))):
         # Orbital pretraining before VMC (ref ferminet/train.py:427-438).
+        # Shared-parameter excited states pretrain each determinant group
+        # against its own mean-field determinant (ground + lowest
+        # excitations, ref ferminet/pretrain.py:150-196); the legacy K-copy
+        # mode has no group structure and skips pretraining.
         from aiqmc_tpu import pretrain as pretrain_lib
         logging.info("Pretraining orbitals for %d iterations",
                      cfg.pretrain.iterations)
@@ -753,7 +757,8 @@ def train(cfg: ml_collections.ConfigDict,
             learning_rate=cfg.pretrain.learning_rate,
             target=cfg.pretrain.target, key=subkey, params=params,
             pp_cfg=cfg.system.pp if cfg.system.use_pp else None,
-            basis=cfg.pretrain.get("basis", None) or None)
+            basis=cfg.pretrain.get("basis", None) or None,
+            states=cfg.system.get("states", 0))
         if info.num_hosts > 1:
             # Each host pretrained against its own local walkers; take host
             # 0's params so every process starts training identically

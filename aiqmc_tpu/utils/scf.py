@@ -229,3 +229,113 @@ def make_uhf_orbitals(result: UhfResult, nspins: Tuple[int, int]):
         return phi_u, phi_d
 
     return targets
+
+
+# ---------------------------------------------------------------------------
+# Mean-field excitations (NES-VMC pretraining targets)
+# ---------------------------------------------------------------------------
+
+def lowest_excitations(mo_energy, nocc: Tuple[int, int], n: int,
+                       norb: Optional[Tuple[int, int]] = None):
+    """The n lowest-Koopmans single/double S_z-preserving excitations.
+
+    Host-side NumPy (static, computed once at build time). Each excitation is
+    returned as per-spin OCCUPIED-ORBITAL COLUMN INDICES — the representation
+    the orbital-target evaluator consumes directly — instead of the upstream's
+    swap lists (ref ferminet/utils/scf.py:302-373 get_excitations, whose
+    consumer rebuilds exactly these index sets at eval time).
+
+    Args:
+      mo_energy: (eps_up, eps_dn) per-spin MO energies (pass the same array
+        twice for RHF).
+      nocc: (n_up, n_dn) occupied counts.
+      n: number of EXCITED determinants wanted (the ground occupation is not
+        included in the result).
+      norb: optional per-spin orbital counts (default: len(mo_energy[s])).
+
+    Returns:
+      list of n (delta_e, occ_up (n_up,), occ_dn (n_dn,)) tuples, sorted by
+      the Koopmans energy difference delta_e.
+    """
+    eps = [np.asarray(mo_energy[0]), np.asarray(mo_energy[1])]
+    if norb is None:
+        norb = (len(eps[0]), len(eps[1]))
+
+    # Same-channel swaps preserve S_z; cross-channel singles do not.
+    def channel_swaps(s):
+        return [(float(eps[s][a] - eps[s][i]), i, a)
+                for i in range(nocc[s]) for a in range(nocc[s], norb[s])]
+
+    singles = []
+    for s in range(2):
+        for de, i, a in channel_swaps(s):
+            singles.append((de, ((s, i, a),)))
+
+    doubles = []
+    swaps = [channel_swaps(0), channel_swaps(1)]
+    for s1 in range(2):
+        for k1, (de1, i1, a1) in enumerate(swaps[s1]):
+            for s2 in range(s1, 2):
+                start = k1 + 1 if s2 == s1 else 0
+                for de2, i2, a2 in swaps[s2][start:]:
+                    if s1 == s2 and (i1 == i2 or a1 == a2):
+                        continue  # Pauli: distinct holes and particles
+                    doubles.append((de1 + de2, ((s1, i1, a1), (s2, i2, a2))))
+
+    ranked = sorted(singles + doubles, key=lambda t: t[0])
+    if len(ranked) < n:
+        raise ValueError(
+            f"want {n} excitations, basis supports {len(ranked)} — "
+            "use a larger basis set")
+
+    out = []
+    for de, swaps_k in ranked[:n]:
+        occ = [list(range(nocc[0])), list(range(nocc[1]))]
+        for s, i, a in swaps_k:
+            occ[s][i] = a
+        out.append((de, np.asarray(occ[0], dtype=int),
+                    np.asarray(occ[1], dtype=int)))
+    return out
+
+
+def make_occ_orbitals(basis, mo_a, mo_b, nspins: Tuple[int, int],
+                      occ_up, occ_dn):
+    """targets(pos) -> (phi_up, phi_dn) from EXPLICIT MO column indices."""
+    mo_a = jnp.asarray(mo_a)
+    mo_b = jnp.asarray(mo_b)
+    occ_up = np.asarray(occ_up, dtype=int)
+    occ_dn = np.asarray(occ_dn, dtype=int)
+
+    def targets(pos: jnp.ndarray):
+        x = jnp.reshape(pos, (-1, 3))
+        nup = nspins[0]
+        xu, xd = x[:nup], x[nup:]
+        phi_u = gto.eval_basis(basis, xu) @ mo_a[:, occ_up]
+        phi_d = (gto.eval_basis(basis, xd) @ mo_b[:, occ_dn]
+                 if nspins[1] > 0 else jnp.zeros((0, 0)))
+        return phi_u, phi_d
+
+    return targets
+
+
+def make_excited_target_list(result, nspins: Tuple[int, int], states: int):
+    """K pretraining-target fns: ground + the (states-1) lowest excitations.
+
+    result: RhfResult or UhfResult. State 0 targets the mean-field ground
+    determinant; state k>0 targets the k-th lowest S_z-preserving
+    single/double excitation (ref ferminet/pretrain.py:160-196 +
+    utils/scf.py:302: the upstream pretrains each NES-VMC state against its
+    own excited Slater determinant)."""
+    if isinstance(result, UhfResult):
+        mo_a, mo_b = result.mo_coeff
+        eps = result.mo_energy
+    else:
+        mo_a = mo_b = result.mo_coeff
+        eps = (result.mo_energy, result.mo_energy)
+    ground = (np.arange(nspins[0]), np.arange(nspins[1]))
+    occs = [ground]
+    if states > 1:
+        for _, occ_up, occ_dn in lowest_excitations(eps, nspins, states - 1):
+            occs.append((occ_up, occ_dn))
+    return [make_occ_orbitals(result.basis, mo_a, mo_b, nspins, u, d)
+            for u, d in occs]

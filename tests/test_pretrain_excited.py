@@ -148,3 +148,117 @@ def test_pretrain_valence_ecp_targets():
     phi_u, phi_d = targets(pos[0])
     assert phi_u.shape == (2, 2) and phi_d.shape == (2, 2)
     assert np.all(np.isfinite(np.asarray(phi_u)))
+
+
+def _shared_net(nelec, nspins, spins, charges, determinants):
+    par, anti, n_par, n_anti = spin_indices.jastrow_indices_ee(spins, nelec)
+    up, down = spin_indices.spin_indices_h(spins)
+    return nn.make_ai_net(
+        nspins=nspins, charges=charges, parallel_indices=par,
+        antiparallel_indices=anti, spin_up_indices=up, spin_down_indices=down,
+        n_parallel=n_par, n_antiparallel=n_anti, ndim=3, natoms=1,
+        nelectrons=nelec, full_equivariance=True, complex_orbitals=False,
+        bounded_envelope=True, regular_harmonics=True,
+        determinants=determinants, hidden_dims=((8, 4), (8, 4)),
+        hidden_dims_Ynlm=(4, 4))
+
+
+def test_lowest_excitations_ordering_and_pauli():
+    """Hand-checkable spectrum eps=[0,1,2,3], nocc=(2,1): the two dE=1
+    singles come first (up 1->2 and dn 0->1), every result preserves S_z
+    (occupied counts unchanged) and respects Pauli (distinct indices)."""
+    from aiqmc_tpu.utils import scf
+
+    eps = (np.array([0.0, 1, 2, 3]), np.array([0.0, 1, 2, 3]))
+    exc = scf.lowest_excitations(eps, (2, 1), 6)
+    des = [de for de, _, _ in exc]
+    assert des == sorted(des)
+    np.testing.assert_allclose(des[:2], [1.0, 1.0])
+    for de, occ_up, occ_dn in exc:
+        assert len(occ_up) == 2 and len(occ_dn) == 1  # S_z preserved
+        assert len(set(occ_up.tolist())) == 2         # Pauli
+    # The two dE=1 determinants are exactly {up 1->2} and {dn 0->1}.
+    got = {(tuple(u), tuple(d)) for _, u, d in exc[:2]}
+    assert got == {((0, 2), (0,)), ((0, 1), (1,))}
+
+
+def test_excited_target_list_state0_is_ground():
+    """State 0 of the excited target list must equal the plain UHF ground
+    targets (same MO columns, same basis evaluation)."""
+    from aiqmc_tpu.utils import scf
+
+    atoms = np.zeros((1, 3))
+    charges = np.array([3.0])
+    nspins = (2, 1)
+    result = scf.run_uhf(atoms, charges, nspins=nspins)
+    fns = scf.make_excited_target_list(result, nspins, states=3)
+    ground = scf.make_uhf_orbitals(result, nspins)
+    pos = jnp.asarray(np.random.RandomState(0).normal(size=(9,)))
+    want_u, want_d = ground(pos)
+    got_u, got_d = fns[0](pos)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u))
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d))
+    # Excited states use different columns -> different targets.
+    exc_u, exc_d = fns[1](pos)
+    assert (np.abs(np.asarray(exc_u) - np.asarray(want_u)).max() > 1e-8
+            or np.abs(np.asarray(exc_d) - np.asarray(want_d)).max() > 1e-8)
+
+
+def test_pretrain_states_reduces_loss():
+    """Shared-network excited pretraining must drive each determinant group
+    toward its own mean-field determinant: the orbital MSE after 120 Adam
+    steps is well below the initial value (the first ~40 steps can RISE while
+    the interleaved MCMC moves walkers from the init cloud into the ansatz's
+    high-|psi| region — the loss landscape itself is changing)."""
+    spins = np.array([1.0, 1.0, -1.0])
+    nel, states, ndets = 3, 2, 2
+    nspins = (2, 1)
+    charges = jnp.asarray([3.0])
+    net = _shared_net(nel, nspins, spins, charges, states * ndets)
+    batch = 32
+    key = jax.random.PRNGKey(0)
+    pos = 0.7 * jax.random.normal(key, (batch, states * nel * 3))
+    data = AINetData(positions=pos, spins=jnp.asarray(spins),
+                     atoms=jnp.zeros((1, 3)), charges=charges)
+
+    from aiqmc_tpu.utils import scf
+    result = scf.run_uhf(np.zeros((1, 3)), np.array([3.0]), nspins=nspins)
+    target_fns = scf.make_excited_target_list(result, nspins, states)
+    tot_apply = excited.make_shared_total_ansatz(net, states)[1]
+    batch_logabs = jax.vmap(
+        lambda p, x, s, a, c: tot_apply(p, x, s, a, c)[1],
+        in_axes=(None, 0, None, None, None))
+    import optax
+    opt = optax.adam(3e-3)
+    params = net.init(jax.random.PRNGKey(1))
+    step = jax.jit(pretrain.make_pretrain_states_step(
+        net.orbitals, batch_logabs, target_fns, opt, nspins, states))
+    opt_state = opt.init(params)
+    losses = []
+    for i in range(120):
+        key, sub = jax.random.split(key)
+        params, opt_state, data, loss, _ = step(params, opt_state, data, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+def test_pretrain_orbitals_states_entrypoint():
+    """pretrain_orbitals(states=K) end-to-end on extended walkers. Li, not
+    He: STO-3G He has a single basis function, so no virtuals exist and the
+    excitation enumeration correctly refuses (its ValueError is upstream
+    behaviour too — 'Try a larger basis set')."""
+    spins = np.array([1.0, 1.0, -1.0])
+    nel, states, ndets = 3, 2, 2
+    nspins = (2, 1)
+    charges = jnp.asarray([3.0])
+    net = _shared_net(nel, nspins, spins, charges, states * ndets)
+    pos = 0.7 * jax.random.normal(jax.random.PRNGKey(0),
+                                  (16, states * nel * 3))
+    data = AINetData(positions=pos, spins=jnp.asarray(spins),
+                     atoms=jnp.zeros((1, 3)), charges=charges)
+    params, data2 = pretrain.pretrain_orbitals(
+        net, data, nspins, iterations=3, states=states)
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert data2.positions.shape == pos.shape
