@@ -210,6 +210,12 @@ def default() -> ml_collections.ConfigDict:
             "density": False,           # one-RDM via auxiliary r' chain;
                                         # state+accumulation checkpointed
             "density_mcmc_steps": 10,   # r' RW-MH sweeps per stats step
+            # PBC only: accumulate the static structure factor S(k) on a
+            # shell-grouped reciprocal grid -> structure_factor.npz, for the
+            # CCMH two-body finite-size correction
+            # (pbc/structure_factor.chiesa_potential_correction).
+            "structure_factor": False,
+            "structure_factor_nmax": 3,
         },
         "log": {
             "save_path": "",

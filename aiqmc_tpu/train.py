@@ -840,6 +840,7 @@ def train(cfg: ml_collections.ConfigDict,
     obs_fns = {}
     obs_cols = {}
     density = None
+    sfactor = None
     if cfg.get("observables", None):
         from aiqmc_tpu import observables as obs_lib
         n_obs_states = cfg.system.get("states", 0)
@@ -899,6 +900,26 @@ def train(cfg: ml_collections.ConfigDict,
             density = {"update": jax.jit(d_update), "est": jax.jit(d_estimator),
                        "state": d_state, "accum": rho_accum,
                        "count": rho_count}
+        if cfg.observables.get("structure_factor", False):
+            # Static structure factor S(k) on a shell-grouped reciprocal grid
+            # (beyond the reference): running accumulation checkpointed;
+            # saved to structure_factor.npz for the CCMH finite-size
+            # correction (pbc/structure_factor.chiesa_potential_correction).
+            if not cfg.system.get("pbc", False):
+                raise ValueError(
+                    "observables.structure_factor needs a periodic system "
+                    "(cfg.system.pbc with a lattice)")
+            from aiqmc_tpu.pbc import structure_factor as sf_lib
+            sf_k, sf_knorm = sf_lib.make_kshells(
+                np.asarray(cfg.system.structure),
+                nmax=int(cfg.observables.get("structure_factor_nmax", 3)))
+            sfactor = {
+                "est": jax.jit(sf_lib.make_structure_factor(sf_k, nelectrons)),
+                "k": sf_k, "knorm": sf_knorm,
+                "accum": (np.asarray(ckpt_extra["sk_accum"])
+                          if "sk_accum" in ckpt_extra else None),
+                "count": (int(ckpt_extra["sk_count"])
+                          if "sk_count" in ckpt_extra else 0)}
 
     def _ckpt_extra():
         extra = {"mcmc_width": np.asarray(mcmc_width)}
@@ -915,6 +936,9 @@ def train(cfg: ml_collections.ConfigDict,
                 density_rho_accum=np.asarray(
                     density["accum"] if density["accum"] is not None else 0.0),
                 density_rho_count=np.asarray(density["count"]))
+        if sfactor is not None and sfactor["count"] > 0:
+            extra.update(sk_accum=np.asarray(sfactor["accum"]),
+                         sk_count=np.asarray(sfactor["count"]))
         return extra
 
     schema = ["step", "energy", "variance", "pmove", "ewmean", "ewstd"]
@@ -986,6 +1010,11 @@ def train(cfg: ml_collections.ConfigDict,
                     density["accum"] = (rho if density["accum"] is None
                                         else density["accum"] + rho)
                     density["count"] += 1
+                if sfactor is not None:
+                    sk = np.asarray(sfactor["est"](data))
+                    sfactor["accum"] = (sk if sfactor["accum"] is None
+                                        else sfactor["accum"] + sk)
+                    sfactor["count"] += 1
                 if state_cols:
                     se = np.asarray(stats["state_energies"]).reshape(-1)
                     extra.update({c: float(v)
@@ -1026,6 +1055,11 @@ def train(cfg: ml_collections.ConfigDict,
         if is_chief and density is not None and density["count"] > 0:
             np.save(os.path.join(ckpt_save_path, "density_rdm.npy"),
                     density["accum"] / density["count"])
+        if is_chief and sfactor is not None and sfactor["count"] > 0:
+            np.savez(os.path.join(ckpt_save_path, "structure_factor.npz"),
+                     kpoints=sfactor["k"], knorm=sfactor["knorm"],
+                     sk=sfactor["accum"] / sfactor["count"],
+                     count=sfactor["count"])
 
     return TrainResult(network=network, params=params, data=data,
                        opt_state=opt_state, energies=np.asarray(energies),
