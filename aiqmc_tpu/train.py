@@ -443,6 +443,11 @@ def _step_stats(aux):
     if aux.local_energy_mat is not None:
         mean_mat = jnp.mean(aux.local_energy_mat, axis=0)
         stats["state_energies"] = jnp.diagonal(mean_mat).real
+        # Full batch-mean energy matrix: the NES-VMC eigenvalue extraction
+        # needs the off-diagonal elements too (non-orthogonal states; the
+        # upstream streams the whole matrix to energy_matrix.npy,
+        # ref ferminet/train.py:595-600).
+        stats["state_energy_matrix"] = mean_mat.real
     return stats
 
 
@@ -944,7 +949,9 @@ def train(cfg: ml_collections.ConfigDict,
     schema = ["step", "energy", "variance", "pmove", "ewmean", "ewstd"]
     n_states = cfg.system.get("states", 0)
     state_cols = [f"energy_state_{k}" for k in range(n_states)]
-    schema += state_cols
+    state_mat_cols = [f"energy_mat_{i}{j}" for i in range(n_states)
+                      for j in range(n_states)]
+    schema += state_cols + state_mat_cols
     guard_on = _guard_enabled(cfg)
     if guard_on:
         # Surface the step-rejection counter so a stalled (all-rejecting)
@@ -1019,6 +1026,10 @@ def train(cfg: ml_collections.ConfigDict,
                     se = np.asarray(stats["state_energies"]).reshape(-1)
                     extra.update({c: float(v)
                                   for c, v in zip(state_cols, se)})
+                    em = np.asarray(
+                        stats["state_energy_matrix"]).reshape(-1)
+                    extra.update({c: float(v)
+                                  for c, v in zip(state_mat_cols, em)})
                 if guard_on:
                     extra["guard_rejected"] = int(
                         np.asarray(stats["guard_rejected"]))

@@ -166,6 +166,14 @@ def excited_state_summary(path: str, states: int,
 
     energies = [col_mean(f"energy_state_{k}") for k in range(states)]
     out: Dict[str, object] = {"energies": energies}
+    if f"energy_mat_{0}{0}" in stats:
+        # Eigenvalues of the mean energy matrix: NES-VMC states are
+        # non-orthogonal, so the raw diagonal mixes states; diagonalising
+        # E[M^{-1} H M] (Pfau et al. 2023 eq. for the energy estimator)
+        # unmixes them.
+        mat = np.array([[col_mean(f"energy_mat_{i}{j}")
+                         for j in range(states)] for i in range(states)])
+        out["energies_eig"] = sorted(np.linalg.eigvals(mat).real.tolist())
     if f"s2_{0}{0}" in stats:
         out["s2"] = [col_mean(f"s2_{k}{k}") for k in range(states)]
     if f"dipole_x_{0}{0}" in stats:

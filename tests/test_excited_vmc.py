@@ -292,6 +292,7 @@ def test_train_driver_states_observables_csv():
     want_cols = [f"s2_{i}{j}" for i in range(2) for j in range(2)]
     want_cols += [f"dipole_{d}_{i}{j}" for d in "xyz"
                   for i in range(2) for j in range(2)]
+    want_cols += [f"energy_mat_{i}{j}" for i in range(2) for j in range(2)]
     assert rows, "no stats rows written"
     for col in want_cols:
         assert col in rows[-1], f"missing observable column {col}"

@@ -190,11 +190,16 @@ def test_excited_state_summary(tmp_path):
 
     path = tmp_path / "train_states.csv"
     cols = ["energy", "energy_state_0", "energy_state_1",
-            "s2_00", "s2_01", "s2_10", "s2_11"]
+            "s2_00", "s2_01", "s2_10", "s2_11",
+            "energy_mat_00", "energy_mat_01", "energy_mat_10",
+            "energy_mat_11"]
     cols += [f"dipole_{d}_{i}{j}" for d in "xyz" for i in range(2)
              for j in range(2)]
     row = {"energy": -5.0, "energy_state_0": -3.0, "energy_state_1": -2.5,
-           "s2_00": 0.75, "s2_01": 0.0, "s2_10": 0.0, "s2_11": 2.0}
+           "s2_00": 0.75, "s2_01": 0.0, "s2_10": 0.0, "s2_11": 2.0,
+           # energy matrix [[-3, 0.1], [0.1, -2.5]]: eigvals -3.0196.., -2.4803..
+           "energy_mat_00": -3.0, "energy_mat_01": 0.1,
+           "energy_mat_10": 0.1, "energy_mat_11": -2.5}
     # O_0k = 0.4/0.0/0.0, O_k0 = 0.1/0.0/0.0 -> |<0|r|1>|^2 = 0.04.
     for d in "xyz":
         for i in range(2):
@@ -209,6 +214,8 @@ def test_excited_state_summary(tmp_path):
 
     out = analysis_tools.excited_state_summary(str(path), states=2)
     np.testing.assert_allclose(out["energies"], [-3.0, -2.5])
+    want_eig = np.linalg.eigvals(np.array([[-3.0, 0.1], [0.1, -2.5]]))
+    np.testing.assert_allclose(out["energies_eig"], sorted(want_eig.real))
     np.testing.assert_allclose(out["s2"], [0.75, 2.0])
     t = out["transitions"][0]
     np.testing.assert_allclose(t["excitation_ha"], 0.5)
