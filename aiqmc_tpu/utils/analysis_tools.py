@@ -190,3 +190,49 @@ def excited_state_summary(path: str, states: int,
             })
         out["transitions"] = transitions
     return out
+
+
+def dmc_tau_extrapolation(runs, nmad: float = 5.0):
+    """Linear time-step extrapolation of DMC energies to tau -> 0.
+
+    Fixed-node DMC carries an O(tau) bias (Umrigar, Nightingale & Runge
+    1993); production practice is to run 2-3 time steps and extrapolate.
+    The reference ships no analysis for this (its DMC examples run a single
+    tau); this closes that workflow gap.
+
+    Args:
+      runs: iterable of (tau, dmc_states_csv_path); each CSV is the DMC
+        driver's block trace (block, energy, weight).
+
+    Returns:
+      {"e0": intercept (tau -> 0 energy), "e0_err": its standard error from
+       the weighted least squares, "slope": dE/dtau, "per_tau": [...]}.
+    """
+    taus, means, errs = [], [], []
+    per_tau = []
+    for tau, path in runs:
+        stats = read_train_stats(path)
+        blocks = stats["energy"]
+        blocks = blocks[np.isfinite(blocks)]
+        # Discard the first 20% (projection transient), robust-trim the rest.
+        blocks = blocks[int(0.2 * len(blocks)):]
+        r = robust_block_stats(blocks, nmad=nmad)
+        taus.append(float(tau))
+        means.append(r["mean"])
+        errs.append(max(r["stderr"], 1e-12))
+        per_tau.append({"tau": float(tau), **r})
+    if len(taus) < 2:
+        raise ValueError("tau extrapolation needs >= 2 time steps")
+    t = np.asarray(taus)
+    y = np.asarray(means)
+    w = 1.0 / np.asarray(errs) ** 2
+    # Weighted least squares y = e0 + slope * tau.
+    W = np.sum(w)
+    tw, yw = np.sum(w * t), np.sum(w * y)
+    tt, ty = np.sum(w * t * t), np.sum(w * t * y)
+    det = W * tt - tw * tw
+    e0 = (tt * yw - tw * ty) / det
+    slope = (W * ty - tw * yw) / det
+    e0_err = float(np.sqrt(tt / det))
+    return {"e0": float(e0), "e0_err": e0_err, "slope": float(slope),
+            "per_tau": per_tau}

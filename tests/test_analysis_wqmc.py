@@ -93,3 +93,26 @@ def test_tabc_average(tmp_path):
     q = np.sqrt((2 * out["per_twist"][0]["stderr"]) ** 2
                 + (6 * out["per_twist"][1]["stderr"]) ** 2) / 8.0
     assert abs(out["stderr"] - q) < 1e-15
+
+
+def test_dmc_tau_extrapolation(tmp_path):
+    """Synthetic DMC traces with E(tau) = -5.43 + 0.8 tau + noise: the
+    weighted fit must recover the intercept within its own error bar."""
+    import csv as csv_mod
+    import numpy as np
+    from aiqmc_tpu.utils import analysis_tools
+
+    rng = np.random.RandomState(0)
+    runs = []
+    for tau in (0.01, 0.02, 0.04):
+        path = tmp_path / f"dmc_{tau}.csv"
+        with open(path, "w", newline="") as f:
+            w = csv_mod.DictWriter(f, fieldnames=["block", "energy", "weight"])
+            w.writeheader()
+            for b in range(400):
+                e = -5.43 + 0.8 * tau + 0.003 * rng.randn()
+                w.writerow({"block": b, "energy": e, "weight": 1.0})
+        runs.append((tau, str(path)))
+    out = analysis_tools.dmc_tau_extrapolation(runs)
+    assert abs(out["e0"] - (-5.43)) < 4 * out["e0_err"] + 1e-4
+    assert abs(out["slope"] - 0.8) < 0.12
