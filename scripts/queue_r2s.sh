@@ -56,11 +56,14 @@ while true; do
       kill "$PID" 2>/dev/null; sleep 10; kill -9 "$PID" 2>/dev/null
       break
     fi
+    # Baseline = later of csv mtime and leg start: an old csv from a prior
+    # leg must not kill a fresh leg mid-compile (2026-08-19 C2 incident).
+    ref=$START
     if [ -f "$CSV" ]; then
-      age=$(( now - $(stat -c %Y "$CSV") ))
-    else
-      age=$(( now - START ))
+      m=$(stat -c %Y "$CSV")
+      [ "$m" -gt "$ref" ] && ref=$m
     fi
+    age=$(( now - ref ))
     if [ "$age" -gt "$STALE_S" ]; then
       echo "=== leg $leg STALLED (csv ${age}s old), killing $(date) ===" >> "$Q"
       kill "$PID" 2>/dev/null; sleep 10; kill -9 "$PID" 2>/dev/null

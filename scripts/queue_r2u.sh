@@ -57,11 +57,17 @@ while true; do
       kill "$PID" 2>/dev/null; sleep 10; kill -9 "$PID" 2>/dev/null
       break
     fi
+    # Staleness is measured against the LATER of the csv mtime and this
+    # leg's start: a csv left old by a previous leg must not count against
+    # a fresh leg still in its (minutes-long) restore+compile phase — that
+    # exact bug killed legs 2-18 of the 2026-08-19 C2 window ~60s after
+    # launch ("csv 2302s old").
+    ref=$START
     if [ -f "$CSV" ]; then
-      age=$(( now - $(stat -c %Y "$CSV") ))
-    else
-      age=$(( now - START ))
+      m=$(stat -c %Y "$CSV")
+      [ "$m" -gt "$ref" ] && ref=$m
     fi
+    age=$(( now - ref ))
     if [ "$age" -gt "$STALE_S" ]; then
       echo "=== c2 leg $leg STALLED (csv ${age}s old), killing $(date) ===" >> "$Q"
       kill "$PID" 2>/dev/null; sleep 10; kill -9 "$PID" 2>/dev/null
