@@ -90,7 +90,7 @@ class DensityState:
 
 def make_one_rdm_aux(signed_network, atoms, charges, nspins,
                      ndim: int = 3, mcmc_steps: int = 10,
-                     complex_output: bool = False):
+                     complex_output: bool = False, basis=None):
     """One-RDM in the HF molecular-orbital basis via importance sampling.
 
         rho^s_ij = N_s * E_{x ~ |psi|^2, r' ~ p_HF} [
@@ -112,7 +112,8 @@ def make_one_rdm_aux(signed_network, atoms, charges, nspins,
 
     nelectrons = int(nspins[0] + nspins[1])
     rhf = scf_lib.run_rhf(atoms, charges,
-                          nelectrons=nelectrons - (nelectrons % 2))
+                          nelectrons=nelectrons - (nelectrons % 2),
+                          basis=basis)
     basis = rhf.basis
     mo = jnp.asarray(rhf.mo_coeff)
     nocc = rhf.nocc
@@ -186,6 +187,129 @@ def make_one_rdm_aux(signed_network, atoms, charges, nspins,
                 phi_i[:, :, None] * phi_j[:, None, :] * w[:, None, None],
                 axis=0)
             rhos.append(rho)
+        return jnp.stack(rhos)
+
+    return init, update, estimator
+
+
+def make_one_rdm_states_aux(state_signs_logs, atoms, charges, nspins,
+                            states: int, ndim: int = 3,
+                            mcmc_steps: int = 10, basis=None):
+    """One-RDM STATE MATRICES for NES-VMC excited states.
+
+    Extends ``make_one_rdm_aux`` to the K-state shared ansatz Psi = det M
+    (ref ferminet/density.py:247-271, the `use_excited` branch): the one-body
+    operator acts per configuration, so by determinant row-linearity its
+    local value is the K x K matrix M^{-1} A with
+
+        A[j, l] = N_s phi_a(r_s(x_j)) phi_b(r'_j) psi_l(x_j: r_s -> r'_j)
+                  / p_HF(r'_j),
+
+    one auxiliary r' per (walker, configuration). The batch mean's diagonal
+    [k, k] gives state-k one-RDMs (HF-determinant oracle: diag(occupations of
+    excitation k)); off-diagonals are TRANSITION one-RDMs — natural
+    transition orbitals / oscillator strengths beyond the dipole.
+
+    Args:
+      state_signs_logs: f(params, config, spins, atoms, charges) ->
+        (signs (K,), logs (K,)) of every state at ONE configuration
+        (``excited.make_shared_state_signs_logs`` or a same-contract stub).
+
+    Returns (init, update, estimator); estimator output
+    (nchannels, norb, norb, K, K).
+    """
+    from aiqmc_tpu.utils import scf as scf_lib
+    from aiqmc_tpu.utils.gto import eval_basis
+
+    nelectrons = int(nspins[0] + nspins[1])
+    rhf = scf_lib.run_rhf(atoms, charges,
+                          nelectrons=nelectrons - (nelectrons % 2),
+                          basis=basis)
+    basis = rhf.basis
+    mo = jnp.asarray(rhf.mo_coeff)
+    # The r' proposal must COVER the excited orbitals: the upstream samples
+    # p_HF over ground-occupied orbitals only (ref density.py:53-81), which
+    # is an unbiased but heavy-tailed importance function for excited-state
+    # elements (a diffuse phi_virtual barely overlaps |phi_occ|^2 — measured
+    # 0.45 vs 1.0 on the He dn 0->1 oracle at batch 2048). Including the
+    # lowest nocc + states orbitals in the proposal mean fixes the tail.
+    nprop = min(mo.shape[1], rhf.nocc + states)
+
+    def hf_prob(r):
+        occ = eval_basis(basis, r) @ mo[:, :nprop]
+        return jnp.mean(occ ** 2, axis=-1)
+
+    def init(key: chex.PRNGKey, data: AINetData) -> DensityState:
+        batch = data.positions.shape[0]
+        pos = jnp.reshape(data.positions, (batch * states, -1, ndim))
+        idx = jax.random.randint(key, (batch * states,), 0, pos.shape[1])
+        rprime = jnp.take_along_axis(pos, idx[:, None, None], axis=1)[:, 0]
+        return DensityState(t=jnp.zeros((), jnp.int32), positions=rprime,
+                            probabilities=hf_prob(rprime),
+                            move_width=jnp.asarray(0.4))
+
+    def update(params, state: DensityState, key: chex.PRNGKey) -> DensityState:
+        del params
+
+        def body(i, carry):
+            pos, logp, naccept, key_ = carry
+            key_, k1, k2 = jax.random.split(key_, 3)
+            prop = pos + state.move_width * jax.random.normal(k1, pos.shape)
+            logp_new = jnp.log(hf_prob(prop) + 1e-300)
+            accept = (jnp.log(jax.random.uniform(k2, logp.shape))
+                      < logp_new - logp)
+            pos = jnp.where(accept[:, None], prop, pos)
+            logp = jnp.where(accept, logp_new, logp)
+            return pos, logp, naccept + jnp.mean(accept), key_
+
+        logp0 = jnp.log(state.probabilities + 1e-300)
+        pos, logp, nacc, _ = jax.lax.fori_loop(
+            0, mcmc_steps, body,
+            (state.positions, logp0, jnp.zeros(()), key))
+        pmove = nacc / mcmc_steps
+        width = state.move_width * jnp.where(
+            pmove > 0.55, 1.1, jnp.where(pmove < 0.5, 0.9, 1.0))
+        return DensityState(t=state.t + 1, positions=pos,
+                            probabilities=jnp.exp(logp), move_width=width)
+
+    def estimator(params, data: AINetData, state: DensityState) -> jnp.ndarray:
+        batch = data.positions.shape[0]
+        configs = jnp.reshape(data.positions, (batch, states, -1))
+        rprime = jnp.reshape(state.positions, (batch, states, ndim))
+        inv_p = 1.0 / jnp.reshape(state.probabilities, (batch, states))
+
+        def all_states(x):
+            return state_signs_logs(params, x, data.spins, data.atoms,
+                                    data.charges)
+
+        eval_grid = jax.vmap(jax.vmap(all_states))     # (B, K_cfg) configs
+        signs, logs = eval_grid(configs)               # (B, K_cfg, K_state)
+        logmax = jnp.max(logs, axis=(1, 2), keepdims=True)
+        m_mat = signs * jnp.exp(logs - logmax)         # M[j, i] per walker
+
+        channels = (0, nspins[0]) if nspins[1] > 0 else (0,)
+        rhos = []
+        for spin, i0 in enumerate(channels):
+            replaced = configs.at[:, :, i0 * ndim:(i0 + 1) * ndim].set(rprime)
+            signs_r, logs_r = eval_grid(replaced)
+            p_mat = signs_r * jnp.exp(logs_r - logmax)  # A-part [j, l]
+            r1 = configs[:, :, i0 * ndim:(i0 + 1) * ndim]
+            phi_i = eval_basis(basis, r1.reshape(-1, ndim)) @ mo
+            phi_i = phi_i.reshape(batch, states, -1)    # u_j(a)
+            phi_j = eval_basis(basis, rprime.reshape(-1, ndim)) @ mo
+            phi_j = phi_j.reshape(batch, states, -1)    # v_j(b)
+
+            def one_walker(m, p, u, v, w):
+                # rho[a, b, k, l] = sum_j M^{-1}[k, j] u[j, a] v[j, b]
+                #                          P[j, l] w[j]
+                # (the per-j weights sit INSIDE the contraction, so a single
+                # solve cannot absorb them for all (a, b) at once — invert
+                # once and einsum).
+                inv_m = jnp.linalg.inv(m)
+                return jnp.einsum("kj,ja,jb,jl,j->abkl", inv_m, u, v, p, w)
+
+            rho = jax.vmap(one_walker)(m_mat, p_mat, phi_i, phi_j, inv_p)
+            rhos.append(nspins[spin] * jnp.mean(rho, axis=0))
         return jnp.stack(rhos)
 
     return init, update, estimator

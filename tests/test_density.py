@@ -119,3 +119,92 @@ def test_one_rdm_aux_mcmc_hf_oracle():
         assert abs(np.trace(rho[s]) - 1.0) < 0.15
         offdiag = rho[s] - np.diag(np.diag(rho[s]))
         assert np.max(np.abs(offdiag)) < 0.1
+
+
+def test_one_rdm_states_aux_hf_oracle():
+    """Excited one-RDM state matrices on exact mean-field states.
+
+    Two states of a 2-electron system (even-tempered He basis): state 0 =
+    ground determinant phi_0(up) phi_0(dn), state 1 = the dn 0->1 excitation
+    phi_0(up) phi_1(dn). Oracles (orthonormal MOs):
+      * diagonal [k, k] blocks = diag(occupations of state k) per channel;
+      * the dn-channel TRANSITION block [0, 1] has its unit element at the
+        single allowed (a, b) = (1, 0) / (0, 1) pair and nothing else;
+      * the up-channel transition block vanishes (orthogonal dn factors).
+    """
+    import jax
+    import jax.numpy as jnp
+    from aiqmc_tpu import density as density_lib
+    from aiqmc_tpu.models.network import AINetData
+    from aiqmc_tpu.utils import scf as scf_lib
+    from aiqmc_tpu.utils.gto import eval_basis
+
+    atoms = np.zeros((1, 3))
+    charges = np.array([2.0])
+    rhf = scf_lib.run_rhf(atoms, charges, nelectrons=2,
+                          basis="even_tempered")
+    mo = jnp.asarray(rhf.mo_coeff)
+    basis = rhf.basis
+    states = 2
+    occs = [((0,), (0,)), ((0,), (1,))]   # (up, dn) MO columns per state
+
+    def state_signs_logs(params, pos, spins, atoms_, charges_):
+        del params, spins, atoms_, charges_
+        x = pos.reshape(2, 3)
+        phi = eval_basis(basis, x) @ mo   # (2, norb)
+        vals = jnp.stack([phi[0, u[0]] * phi[1, d[0]] for u, d in occs])
+        return jnp.sign(vals), jnp.log(jnp.abs(vals) + 1e-300)
+
+    # Sample the EXTENDED configuration from |det M|^2 by RW MH.
+    def ext_logprob(xx):
+        cfg = xx.reshape(states, 6)
+        rows = [state_signs_logs(None, cfg[j], None, None, None)
+                for j in range(states)]
+        m = jnp.stack([s * jnp.exp(l) for s, l in rows])  # [j, i]
+        _, logdet = jnp.linalg.slogdet(m)
+        return 2.0 * logdet
+
+    batch = 2048
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (batch, states * 6))
+
+    @jax.jit
+    def mh(pos, key):
+        def body(i, carry):
+            pos, lp, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            prop = pos + 0.35 * jax.random.normal(k1, pos.shape)
+            lp_new = jax.vmap(ext_logprob)(prop)
+            acc = jnp.log(jax.random.uniform(k2, lp.shape)) < lp_new - lp
+            return (jnp.where(acc[:, None], prop, pos),
+                    jnp.where(acc, lp_new, lp), key)
+        lp = jax.vmap(ext_logprob)(pos)
+        pos, _, _ = jax.lax.fori_loop(0, 250, body, (pos, lp, key))
+        return pos
+
+    pos = mh(pos, jax.random.fold_in(key, 1))
+    data = AINetData(positions=pos, spins=jnp.array([1.0, -1.0]),
+                     atoms=jnp.asarray(atoms), charges=jnp.asarray(charges))
+
+    init, update, estimator = density_lib.make_one_rdm_states_aux(
+        state_signs_logs, atoms, charges, nspins=(1, 1), states=states,
+        basis="even_tempered")
+    state = init(jax.random.fold_in(key, 2), data)
+    for i in range(30):
+        state = update(None, state, jax.random.fold_in(key, 3 + i))
+    rho = np.asarray(jax.jit(estimator)(None, data, state))
+
+    assert rho.shape == (2, mo.shape[0], mo.shape[0], states, states)
+    # Diagonal state blocks: occupations.
+    np.testing.assert_allclose(rho[0, 0, 0, 0, 0], 1.0, atol=0.15)  # up, gs
+    np.testing.assert_allclose(rho[1, 0, 0, 0, 0], 1.0, atol=0.15)  # dn, gs
+    np.testing.assert_allclose(rho[0, 0, 0, 1, 1], 1.0, atol=0.15)  # up, ex
+    np.testing.assert_allclose(rho[1, 1, 1, 1, 1], 1.0, atol=0.15)  # dn, ex
+    assert abs(rho[1, 0, 0, 1, 1]) < 0.15   # dn orbital 0 empty in state 1
+    # dn transition block: single allowed element.
+    trans = rho[1, :, :, 0, 1]
+    amax = np.unravel_index(np.argmax(np.abs(trans)), trans.shape)
+    assert amax in {(0, 1), (1, 0)}, (amax, trans)
+    assert np.abs(trans[amax]) > 0.6
+    # up transition block vanishes (orthogonal dn factors).
+    assert np.max(np.abs(rho[0, :, :, 0, 1])) < 0.15
