@@ -884,11 +884,31 @@ def train(cfg: ml_collections.ConfigDict,
             # accumulation live in the checkpoint so a resumed run continues
             # accumulating (ref ferminet/train.py:599-641, observables.py:32-64).
             from aiqmc_tpu import density as density_lib
-            d_init, d_update, d_estimator = density_lib.make_one_rdm_aux(
-                network.apply, np.asarray(cfg.system.atoms),
-                np.asarray(cfg.system.charges), tuple(cfg.system.nspins),
-                mcmc_steps=cfg.observables.get("density_mcmc_steps", 10),
-                complex_output=_effective_complex(cfg)[0])
+            if n_obs_states:
+                # Excited states: one-RDM STATE MATRICES (per-state +
+                # transition 1-RDMs) over the extended configuration — the
+                # ground estimator would silently misread the stacked
+                # walkers (ref ferminet/density.py:247-271).
+                if not _shared_states(cfg):
+                    raise NotImplementedError(
+                        "excited-state density needs the shared-parameter "
+                        "ansatz (cfg.system.excited_param_copies=False)")
+                from aiqmc_tpu.models import excited as excited_lib
+                d_init, d_update, d_estimator = (
+                    density_lib.make_one_rdm_states_aux(
+                        excited_lib.make_shared_state_signs_logs(
+                            network, n_obs_states),
+                        np.asarray(cfg.system.atoms),
+                        np.asarray(cfg.system.charges),
+                        tuple(cfg.system.nspins), states=n_obs_states,
+                        mcmc_steps=cfg.observables.get(
+                            "density_mcmc_steps", 10)))
+            else:
+                d_init, d_update, d_estimator = density_lib.make_one_rdm_aux(
+                    network.apply, np.asarray(cfg.system.atoms),
+                    np.asarray(cfg.system.charges), tuple(cfg.system.nspins),
+                    mcmc_steps=cfg.observables.get("density_mcmc_steps", 10),
+                    complex_output=_effective_complex(cfg)[0])
             if "density_positions" in ckpt_extra:
                 d_state = density_lib.DensityState(
                     t=jnp.asarray(ckpt_extra["density_t"]),

@@ -208,3 +208,35 @@ def test_one_rdm_states_aux_hf_oracle():
     assert np.abs(trans[amax]) > 0.6
     # up transition block vanishes (orthogonal dn factors).
     assert np.max(np.abs(rho[0, :, :, 0, 1])) < 0.15
+
+
+def test_train_driver_states_density(tmp_path):
+    """cfg.observables.density on an excited-state run wires the state-matrix
+    one-RDM (shape (channels, norb, norb, K, K) in density_rdm.npy) instead of
+    silently misreading the extended walkers with the ground estimator."""
+    import jax
+    from aiqmc_tpu import config as config_lib, train
+
+    cfg = config_lib.default()
+    with cfg.unlocked():
+        cfg.system.atoms = np.array([[0.0, 0.0, 0.0]])
+        cfg.system.charges = np.array([2.0])
+        cfg.system.spins = np.array([1.0, -1.0])
+        cfg.system.states = 2
+        cfg.batch_size = 16
+        cfg.optim.iterations = 2
+        cfg.optim.optimizer = "adam"
+        cfg.mcmc.steps = 2
+        cfg.mcmc.burn_in = 2
+        cfg.network.hidden_dims = ((8, 4), (8, 4))
+        cfg.network.hidden_dims_ynlm = (4, 4)
+        cfg.observables.density = True
+        cfg.observables.density_mcmc_steps = 2
+        cfg.debug.deterministic = True
+        cfg.log.save_frequency = 1e9
+        cfg.log.stats_frequency = 1
+        cfg.log.save_path = str(tmp_path)
+    train.train(cfg)
+    rho = np.load(tmp_path / "density_rdm.npy")
+    assert rho.ndim == 5 and rho.shape[3:] == (2, 2)
+    assert np.all(np.isfinite(rho))
