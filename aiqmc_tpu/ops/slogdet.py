@@ -296,93 +296,16 @@ def _slogdet_pair_jvp(primals, tangents):
 
 
 # ---------------------------------------------------------------------------
-# Pallas TPU kernel: fused batched GE in VMEM, batch on the lane axis.
+# CLOSED DECISION (round 3, measured): no Pallas slogdet kernel.
 # ---------------------------------------------------------------------------
-#
-# The plain-JAX `_ge_slogdet` above lowers to ~n fused elementwise kernels
-# with the working (B, n, n) tensor round-tripping HBM between elimination
-# steps (the argmax reductions break XLA fusion). The Pallas version keeps a
-# (n, n, LANES) tile resident in VMEM across all n steps: matrices live one
-# per lane, every elimination step is (n, LANES)-shaped VPU work, and the
-# pivot "row swap" is the same one-hot select dataflow as the reference-free
-# formulation above. One HBM read + two scalar-row writes per tile total.
-
-_LANES = 256  # lanes per kernel invocation (multiple of 128)
-
-
-def _ge_kernel(a_ref, sign_ref, logabs_ref, s_ref, *, n: int):
-    import jax.numpy as _jnp
-
-    s_ref[...] = a_ref[...]                   # (n, n, LANES) -> VMEM scratch
-    lanes = s_ref.shape[-1]
-    sign = _jnp.ones((1, lanes), s_ref.dtype)
-    logabs = _jnp.zeros((1, lanes), s_ref.dtype)
-    for k in range(n):
-        col = _jnp.abs(s_ref[k:, k, :])       # (n-k, LANES)
-        p = _jnp.argmax(col, axis=0)          # (LANES,)
-        iota = jax.lax.broadcasted_iota(_jnp.int32, (n - k, lanes), 0)
-        onehot = (iota == p[None, :]).astype(s_ref.dtype)
-        rows = s_ref[k:, :, :]                # (n-k, n, LANES)
-        pivot_row = _jnp.sum(onehot[:, None, :] * rows, axis=0)  # (n, LANES)
-        old_k = s_ref[k, :, :]
-        rows = (rows * (1.0 - onehot[:, None, :])
-                + onehot[:, None, :] * old_k[None])
-        s_ref[k:, :, :] = rows
-        s_ref[k, :, :] = pivot_row
-        piv = pivot_row[k, :]
-        sign = sign * _jnp.where(p == 0, 1.0, -1.0)[None] * _jnp.sign(piv)[None]
-        logabs = logabs + _jnp.log(_jnp.abs(piv))[None]
-        if k + 1 < n:
-            safe = _jnp.where(piv == 0, _jnp.ones_like(piv), piv)
-            m = s_ref[k + 1:, k, :] / safe[None]
-            s_ref[k + 1:, :, :] = (s_ref[k + 1:, :, :]
-                                   - m[:, None, :] * pivot_row[None])
-    sign_ref[...] = sign
-    logabs_ref[...] = logabs
-
-
-def slogdet_pallas(a: jnp.ndarray, interpret: bool = False):
-    """(sign, logabsdet) over (..., n, n) via the fused VMEM kernel.
-
-    Values match `_ge_slogdet` exactly (same pivoting dataflow). Not
-    differentiable itself — `slogdet()` dispatches here only for the primal
-    and keeps its closed-form custom_jvp for all derivative orders.
-    """
-    import functools
-    from jax.experimental import pallas as pl
-    try:
-        from jax.experimental.pallas import tpu as pltpu
-    except ImportError:  # pragma: no cover
-        return _ge_slogdet(a)
-
-    batch_shape = a.shape[:-2]
-    n = a.shape[-1]
-    b = 1
-    for d in batch_shape:
-        b *= d
-    a2 = a.reshape(b, n, n)
-    pad = (-b) % _LANES
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (pad, n, n))
-        a2 = jnp.concatenate([a2, eye], axis=0)
-    bt = a2.shape[0]
-    a_t = jnp.transpose(a2, (1, 2, 0))        # (n, n, B) batch on lanes
-
-    kernel = functools.partial(_ge_kernel, n=n)
-    sign, logabs = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((1, bt), a.dtype),
-                   jax.ShapeDtypeStruct((1, bt), a.dtype)),
-        grid=(bt // _LANES,),
-        in_specs=[pl.BlockSpec((n, n, _LANES), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, _LANES), lambda i: (0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, _LANES), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((n, n, _LANES), a.dtype)],
-        interpret=interpret,
-    )(a_t)
-    sign = sign[0, :b].reshape(batch_shape)
-    logabs = logabs[0, :b].reshape(batch_shape)
-    return sign, logabs
+# A fused VMEM batched-GE Pallas kernel (matrices one-per-lane, all n
+# elimination steps resident in VMEM) was implemented and benchmarked on the
+# production shapes on a real v5e chip (scripts history: runs/
+# bench_slogdet_pallas.log, 2026-08-19): it LOST to this file's plain-XLA
+# batched GE on all four shapes — 0.32x at (4096, 4, 4), 0.99x at
+# (2048, 16, 4), 0.50x at (2048, 16, 16), 0.59x at (4096, 16, 8), values
+# matching exactly. The tiny-matrix GE is latency-bound, not HBM-bound, and
+# XLA's fused elementwise kernels already keep up; the lane-transpose the
+# Pallas layout needs costs more than the fusion saves. XLA batched GE is
+# the final answer for this op; the kernel was deleted (git history:
+# "Pallas slogdet verdict").

@@ -11,7 +11,12 @@ flags — see the diamond DMC NaN post-mortem in BASELINE.md).
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
        scripts/run_c2_ccecp_dmc.py <vmc_ckpt_dir> [blocks] [iters] [save] \
-           [tau] [laplacian] [bond]
+           [tau] [laplacian] [bond] [batch]
+
+batch: DMC walker population. Default 1024 — the 2026-08-19 batch-2048
+attempt OOM'd at COMPILE time (forward-Laplacian temps: 17.97G needed vs
+15.75G HBM on v5e; 8 valence electrons x 24 tangent dirs is 2x the C-atom
+program).
 
 bond MUST match the VMC run's geometry (run_c2_ccecp_kfac.py default
 2.348 bohr equilibrium; the reference example used a compressed 2.0).
@@ -34,6 +39,7 @@ save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c2_dmc"
 tstep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.02
 laplacian = sys.argv[6] if len(sys.argv) > 6 else "default"
 bond = float(sys.argv[7]) if len(sys.argv) > 7 else 2.348
+batch = int(sys.argv[8]) if len(sys.argv) > 8 else 1024
 
 # Auto-detect Polyak-averaged params (cfg.optim.ema_decay > 0 in the VMC run).
 from aiqmc_tpu import checkpoint as ckpt_lib
@@ -56,7 +62,7 @@ energies, data, weights = driver.main(
     use_ema=use_ema, network=network,
     atoms=atoms, charges=charges, spins=spins,
     tstep=tstep, nelectrons=spins.size, nsteps=10, natoms=2, ndim=3,
-    batch_size=2048, iterations=iters, nblocks=nblocks, feedback=1.0,
+    batch_size=batch, iterations=iters, nblocks=nblocks, feedback=1.0,
     nspins=(4, 4), save_path=save, restore_path=restore, save_frequency=10.0,
     Rn_local=np.asarray(pp.rn_local), Local_coes=np.asarray(pp.local_coes),
     Local_exps=np.asarray(pp.local_exps),

@@ -84,18 +84,6 @@ def test_network_blocks_use_fast_path():
     np.testing.assert_array_equal(np.asarray(sign), np.asarray(sign_w))
 
 
-@pytest.mark.parametrize("n", [2, 4, 9])
-def test_pallas_kernel_matches_ge(n):
-    """Fused VMEM kernel (interpret mode on CPU) == plain-JAX GE."""
-    rng = np.random.RandomState(n + 50)
-    a = jnp.asarray(rng.normal(size=(70, n, n)) + 2.0 * np.eye(n))
-    s_p, l_p = ops_slogdet.slogdet_pallas(a, interpret=True)
-    s_g, l_g = ops_slogdet._ge_slogdet(a)
-    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_g))
-    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_g),
-                               rtol=1e-4, atol=1e-4)
-
-
 def test_slogdet_pair_tiny_magnitudes_no_underflow():
     """Pivot magnitudes ~1e-30 must not underflow (the old pr^2+pi^2 form
     zeroed them in f32 -> -inf/NaN log|psi| for far-electron configurations
