@@ -58,6 +58,15 @@ def default() -> ml_collections.ConfigDict:
                 "mu": 0.99,
                 "norm_constraint": 1e-3,
                 "lr": {"rate": 2e-2, "delay": 4000.0},
+                # Continuations (restore from a checkpoint) floor the damping
+                # at this value: at a converged trial the SPRING residual is
+                # mostly batch noise and the lam=1e-3 sample-space solve fits
+                # it (variance creep 0.02 -> 3 Ha^2, runs/c_spring_probe),
+                # while damping 0.1 stayed healthy AND descended below the
+                # KFAC plateau (frozen eval -5.41757(12), runs/c_spring_probe2
+                # + BASELINE.md). Set to 0 to keep the fresh-start damping on
+                # restore as well.
+                "continuation_damping": 0.1,
             },
             # Statistical step rejection (optim/guard.py): rolls back
             # finite-but-pathological optimizer steps (variance explosion /

@@ -475,6 +475,29 @@ def _guard_enabled(cfg) -> bool:
     return bool(enable)
 
 
+def apply_spring_continuation_floor(cfg, restoring: bool) -> None:
+    """Floor SPRING's damping on continuation runs.
+
+    Restores from (typically converged) trials noise-fit at the fresh-start
+    damping 1e-3 — the sample-space solve fits 1024 directions of batch noise
+    per step and the variance creeps 0.02 -> 3 Ha^2 (probe 1,
+    runs/c_spring_probe) — but stay healthy AND keep descending at 0.1
+    (probe 2 + frozen eval -5.41757(12), BASELINE.md). Mutates cfg in place
+    before the optimizer is built; opt out with
+    cfg.optim.spring.continuation_damping = 0.
+    """
+    if not (restoring and cfg.optim.optimizer == "spring"):
+        return
+    floor = cfg.optim.spring.get("continuation_damping", 0.0)
+    if floor and cfg.optim.spring.damping < floor:
+        logging.warning(
+            "SPRING continuation: raising damping %.1e -> %.1e "
+            "(plateau-continuation noise-fitting cure; set "
+            "cfg.optim.spring.continuation_damping=0 to opt out)",
+            cfg.optim.spring.damping, floor)
+        cfg.optim.spring.damping = floor
+
+
 def make_training_components(cfg, network, batch_size: int,
                              params_template=None, data_template=None):
     """Builds the training-step bundle for the configured optimizer,
@@ -672,6 +695,8 @@ def train(cfg: ml_collections.ConfigDict,
     ckpt_restore_filename = (
         checkpoint_lib.find_last_checkpoint(ckpt_save_path) or
         checkpoint_lib.find_last_checkpoint(ckpt_restore_path))
+
+    apply_spring_continuation_floor(cfg, restoring=bool(ckpt_restore_filename))
 
     key, subkey = jax.random.split(key)
     # Each host initialises only ITS host_batch_size walkers from a

@@ -177,9 +177,14 @@ def excited_state_summary(path: str, states: int,
     if f"s2_{0}{0}" in stats:
         out["s2"] = [col_mean(f"s2_{k}{k}") for k in range(states)]
     if f"dipole_x_{0}{0}" in stats:
+        # Excitation energies from the eigen-unmixed matrix when available:
+        # the raw diagonal mixes states until training fully converges, and
+        # the two agree at convergence (the dipole matrix indices live in the
+        # raw state basis either way — the inconsistency is second-order).
+        e_for_de = out.get("energies_eig", energies)
         transitions = []
         for k in range(1, states):
-            de = energies[k] - energies[0]
+            de = e_for_de[k] - e_for_de[0]
             d2 = sum(col_mean(f"dipole_{d}_0{k}") * col_mean(f"dipole_{d}_{k}0")
                      for d in "xyz")
             transitions.append({

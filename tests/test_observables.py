@@ -218,7 +218,10 @@ def test_excited_state_summary(tmp_path):
     np.testing.assert_allclose(out["energies_eig"], sorted(want_eig.real))
     np.testing.assert_allclose(out["s2"], [0.75, 2.0])
     t = out["transitions"][0]
-    np.testing.assert_allclose(t["excitation_ha"], 0.5)
+    # Excitation energies come from the eigen-unmixed energy matrix when the
+    # energy_mat columns exist (raw diagonal mixes states pre-convergence).
+    want_de = float(sorted(want_eig.real)[1] - sorted(want_eig.real)[0])
+    np.testing.assert_allclose(t["excitation_ha"], want_de)
     np.testing.assert_allclose(t["dipole_strength"], 0.04)
     np.testing.assert_allclose(t["oscillator_strength"],
-                               2.0 / 3.0 * 0.5 * 0.04)
+                               2.0 / 3.0 * want_de * 0.04)

@@ -213,3 +213,40 @@ def test_spring_pair_optimises_phase_and_magnitude():
     assert np.isfinite(float(loss))
     assert abs(a1 - 1.0) < abs(a0 - 1.0), (a0, a1)   # magnitude moved to 1
     assert b1 < 0.5 * b0, (b0, b1)                   # PHASE moved toward 0
+
+
+def test_spring_continuation_damping_floor():
+    """Restoring a SPRING run floors damping at continuation_damping (the
+    probe-1 noise-fitting cure, BASELINE.md); fresh starts and explicit
+    opt-out (continuation_damping=0) keep the configured value."""
+    from aiqmc_tpu import config as config_lib
+    from aiqmc_tpu import train as train_lib
+
+    cfg = config_lib.default()
+    cfg.optim.optimizer = "spring"
+    assert cfg.optim.spring.damping == 1e-3
+
+    # Fresh start: untouched.
+    train_lib.apply_spring_continuation_floor(cfg, restoring=False)
+    assert cfg.optim.spring.damping == 1e-3
+
+    # Continuation: floored to 0.1.
+    train_lib.apply_spring_continuation_floor(cfg, restoring=True)
+    assert cfg.optim.spring.damping == cfg.optim.spring.continuation_damping
+
+    # Explicit heavier damping survives.
+    cfg.optim.spring.damping = 0.5
+    train_lib.apply_spring_continuation_floor(cfg, restoring=True)
+    assert cfg.optim.spring.damping == 0.5
+
+    # Opt-out.
+    cfg.optim.spring.damping = 1e-3
+    cfg.optim.spring.continuation_damping = 0.0
+    train_lib.apply_spring_continuation_floor(cfg, restoring=True)
+    assert cfg.optim.spring.damping == 1e-3
+
+    # Non-SPRING optimizers are never touched.
+    cfg.optim.optimizer = "kfac"
+    cfg.optim.spring.continuation_damping = 0.1
+    train_lib.apply_spring_continuation_floor(cfg, restoring=True)
+    assert cfg.optim.spring.damping == 1e-3
