@@ -225,6 +225,14 @@ def default() -> ml_collections.ConfigDict:
             # (pbc/structure_factor.chiesa_potential_correction).
             "structure_factor": False,
             "structure_factor_nmax": 3,
+            # Interatomic forces by AD of the SWCT correlated-sample energy
+            # (forces.py; beyond the reference, which uses its space-warp
+            # machinery for displaced-geometry energies only). Logs
+            # force_{a}_{x,y,z} batch means per stats step. Molecular real
+            # wavefunctions only; costs ~3x E_L (third derivatives), so the
+            # production pattern is a frozen eval (optimizer="none") on a
+            # trained checkpoint rather than logging during optimisation.
+            "forces": False,
         },
         "log": {
             "save_path": "",

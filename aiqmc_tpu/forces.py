@@ -1,0 +1,126 @@
+"""Interatomic forces by autodiff of the SWCT correlated-sample energy.
+
+Beyond the reference: its space-warp machinery
+(``AIQMCrelease3/correlatedsamples/corrsamples.py:23-47``,
+``jacobianWeights.py:22-51``, ``VMC/VMC_energy_correlated_samples.py:156-189``)
+evaluates displaced-geometry ENERGIES only — the classic use is a 2-point
+potential-energy-surface difference. But the displaced-geometry energy
+E_swct(R') is a smooth function of the displaced atom coordinates, and its
+(negative) gradient at zero displacement IS the force estimator of
+Sorella & Capriotti (JCP 133, 234111, 2010): Hellmann-Feynman + Pulay +
+space-warp terms, all generated mechanically by ``jax.grad`` instead of the
+hand-derived estimators of the QMC literature. This is the JAX-native design:
+differentiate the estimator you already trust.
+
+Estimator (per walker i, at displacement zero where every SWCT weight is 1):
+
+    F = -d/dR' [ sum_i c_i w_i(R') E_i(R') / sum_i c_i w_i(R') ]
+      = -(1/sum c) sum_i c_i [ dE_i + (E_i - E_bar) dw_i ]
+
+with E_i the local energy at the warped configuration, w_i the SWCT weight
+(warp Jacobian x psi-ratio^2) and c_i optional external walker weights (VMC:
+1; DMC: population weights). The per-walker samples
+``f_i = -(dE_i + (E_i - E_bar) dw_i)`` are returned so the caller gets error
+bars by reblocking, exactly like energies.
+
+Notes on variance: the space warp transports electrons rigidly with nearby
+nuclei, which is what tames the bare Hellmann-Feynman 1/r^2 variance
+(Umrigar 1989); the estimator here inherits that but is NOT additionally
+zero-variance-regularised — local-energy outliers near nodes show up as
+force outliers, so average with the same robust statistics used for
+energies (``utils/statistics.robust_block_stats``).
+
+Cost: dE_i/dR' reverse-differentiates through the kinetic energy, i.e.
+third derivatives of log|psi|. Use ``laplacian_method="default"`` (the
+batched forward-over-reverse tangent kinetic — plain composed jax ops,
+arbitrarily differentiable); the one-pass forward-Laplacian interpreter is
+a custom jaxpr evaluator and is not itself transformable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aiqmc_tpu.corrsamples import correlated_samples, weights_jacobian
+from aiqmc_tpu.models.network import AINetData
+
+
+def make_force_samples(signed_network, local_energy):
+    """Per-walker AD-SWCT force samples.
+
+    Args:
+      signed_network: fn(params, pos, spins, atoms, charges) -> (sign, log|psi|).
+      local_energy: fn(params, key, data) -> (E_L, aux); must return a REAL
+        scalar per walker (all-electron or ECP molecular Hamiltonians; the
+        pair-complex stacked output is not supported here).
+
+    Returns:
+      fn(params, key, data, walker_weights=None) ->
+        (f_samples (batch, natoms, ndim), e_l (batch,)).
+      ``mean(c_i f_i)/mean(c_i)`` over walkers is the force; reblock the
+      samples for error bars.
+    """
+
+    def force_samples(params, key, data, walker_weights=None):
+        atoms0 = data.atoms
+        batch = data.positions.shape[0]
+        keys = jax.random.split(key, num=batch)
+
+        def e_and_w(new_atoms, pos, subkey):
+            new_pos = correlated_samples(atoms0, new_atoms, pos)
+            jac = weights_jacobian(pos, atoms0, new_atoms)
+            _, log_old = signed_network(params, pos, data.spins, atoms0,
+                                        data.charges)
+            _, log_new = signed_network(params, new_pos, data.spins,
+                                        new_atoms, data.charges)
+            w = jac * jnp.exp(2.0 * (log_new - log_old))
+            e_new, _ = local_energy(
+                params, subkey,
+                AINetData(positions=new_pos, spins=data.spins,
+                          atoms=new_atoms, charges=data.charges))
+            return e_new, w
+
+        def one_walker(pos, subkey):
+            (e0, _), vjp = jax.vjp(
+                lambda new_atoms: e_and_w(new_atoms, pos, subkey), atoms0)
+            de = vjp((jnp.ones(()), jnp.zeros(())))[0]
+            dw = vjp((jnp.zeros(()), jnp.ones(())))[0]
+            return e0, de, dw
+
+        e_l, de, dw = jax.vmap(one_walker)(data.positions, keys)
+        if walker_weights is None:
+            e_bar = jnp.mean(e_l)
+        else:
+            e_bar = jnp.sum(walker_weights * e_l) / jnp.sum(walker_weights)
+        f_samples = -(de + (e_l - e_bar)[:, None, None] * dw)
+        return f_samples, e_l
+
+    return force_samples
+
+
+def make_force(signed_network, local_energy):
+    """Batch-mean AD-SWCT force with a naive (uncorrelated-sample) error bar.
+
+    Returns fn(params, key, data, walker_weights=None) ->
+      (force (natoms, ndim), sem (natoms, ndim), e_l (batch,)).
+    """
+    force_samples = make_force_samples(signed_network, local_energy)
+
+    def force(params, key, data, walker_weights=None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        f, e_l = force_samples(params, key, data, walker_weights)
+        n = f.shape[0]
+        if walker_weights is None:
+            mean = jnp.mean(f, axis=0)
+            sem = jnp.std(f, axis=0) / jnp.sqrt(n)
+        else:
+            c = walker_weights / jnp.sum(walker_weights)
+            mean = jnp.einsum("b,bad->ad", c, f)
+            var = jnp.einsum("b,bad->ad", c, (f - mean) ** 2)
+            sem = jnp.sqrt(var / n)
+        return mean, sem, e_l
+
+    return force

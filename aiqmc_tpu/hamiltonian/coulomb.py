@@ -20,9 +20,19 @@ def potential_electron_nuclear(charges: jnp.ndarray, r_ae: jnp.ndarray) -> jnp.n
 
 
 def potential_nuclear_nuclear(charges: jnp.ndarray, atoms: jnp.ndarray) -> jnp.ndarray:
-    """Sum over nucleus pairs of Z_a Z_b / r_ab."""
-    r_aa = jnp.linalg.norm(atoms[None, ...] - atoms[:, None], axis=-1)
-    return jnp.sum(jnp.triu((charges[None, ...] * charges[..., None]) / r_aa, k=1))
+    """Sum over nucleus pairs of Z_a Z_b / r_ab.
+
+    Gathers the strict upper-triangle pairs BEFORE the norm/division: masking
+    the zero diagonal after dividing leaves inf/NaN partials that reverse-mode
+    AD propagates as 0 * NaN = NaN (the force estimator, forces.py,
+    differentiates this term with respect to ``atoms``).
+    """
+    n = atoms.shape[0]
+    if n < 2:
+        return jnp.zeros((), dtype=atoms.dtype)
+    iu, ju = np.triu_indices(n, k=1)
+    r = jnp.linalg.norm(atoms[iu] - atoms[ju], axis=-1)
+    return jnp.sum(charges[iu] * charges[ju] / r)
 
 
 def potential_energy(r_ae: jnp.ndarray, r_ee: jnp.ndarray, atoms: jnp.ndarray,

@@ -868,6 +868,7 @@ def train(cfg: ml_collections.ConfigDict,
 
     # Optional observables (ref ferminet/train.py:599-641 wiring).
     obs_fns = {}
+    obs_key_fns = {}  # estimators that consume a PRNG key (forces)
     obs_cols = {}
     density = None
     sfactor = None
@@ -950,6 +951,42 @@ def train(cfg: ml_collections.ConfigDict,
             density = {"update": jax.jit(d_update), "est": jax.jit(d_estimator),
                        "state": d_state, "accum": rho_accum,
                        "count": rho_count}
+        if cfg.observables.get("forces", False):
+            # Interatomic forces: AD of the SWCT correlated-sample energy
+            # (forces.py). Needs the reverse-differentiable batched-tangent
+            # kinetic, so a dedicated local energy is built with
+            # laplacian="default" regardless of the training-path choice
+            # (the forward-Laplacian interpreter is not itself transformable).
+            from aiqmc_tpu import forces as forces_lib
+            if n_obs_states:
+                raise NotImplementedError(
+                    "observables.forces supports ground-state runs only")
+            if _effective_complex(cfg)[0]:
+                raise NotImplementedError(
+                    "observables.forces needs a real wavefunction")
+            if cfg.system.get("pbc", False):
+                raise NotImplementedError(
+                    "observables.forces covers molecular systems (the "
+                    "periodic estimator needs Ewald derivatives)")
+            import copy as _copy
+            _cfg_f = _copy.deepcopy(cfg)
+            _cfg_f.optim.laplacian = "default"
+            _force_le = _build_local_energy(_cfg_f, network)
+            _force_samples = forces_lib.make_force_samples(
+                network.apply, _force_le)
+
+            @jax.jit
+            def _force_mean(params, subkey, data):
+                f, _ = _force_samples(params, subkey, data)
+                return jnp.mean(f, axis=0)
+
+            obs_key_fns["forces"] = _force_mean
+            # natoms from the host-side config (the device `atoms` array may
+            # already have been donated to a jitted step by now).
+            obs_cols["forces"] = [
+                f"force_{a}_{d}"
+                for a in range(len(np.asarray(cfg.system.atoms)))
+                for d in "xyz"]
         if cfg.observables.get("structure_factor", False):
             # Static structure factor S(k) on a shell-grouped reciprocal grid
             # (beyond the reference): running accumulation checkpointed;
@@ -1051,6 +1088,11 @@ def train(cfg: ml_collections.ConfigDict,
                 extra = {}
                 for name, fn in obs_fns.items():
                     vals = np.asarray(fn(params, data)).reshape(-1)
+                    extra.update({c: float(v)
+                                  for c, v in zip(obs_cols[name], vals)})
+                for name, fn in obs_key_fns.items():
+                    key, subkey = jax.random.split(key)
+                    vals = np.asarray(fn(params, subkey, data)).reshape(-1)
                     extra.update({c: float(v)
                                   for c, v in zip(obs_cols[name], vals)})
                 if density is not None:

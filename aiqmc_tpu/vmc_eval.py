@@ -92,3 +92,28 @@ def correlated_energy_sweep(signed_network,
         logging.info("Correlated-sample energy at displaced geometry: %s",
                      np.asarray(e_new))
     return e_ref, energies
+
+
+def evaluate_forces(signed_network, local_energy, params, key,
+                    data: AINetData, mesh=None):
+    """Interatomic forces by AD of the SWCT correlated-sample energy.
+
+    Jitted and GSPMD-sharded like the evaluators above: per-walker force
+    samples (forces.py) are computed on each shard and the batch reduction
+    lowers to ICI collectives. Returns (force (natoms, ndim), naive sem,
+    per-walker samples (batch, natoms, ndim)) — reblock the samples across
+    repeated calls for production error bars.
+    """
+    from aiqmc_tpu import forces as forces_lib
+
+    params, data, mesh = distribute(params, data, mesh)
+    force_samples = forces_lib.make_force_samples(signed_network, local_energy)
+
+    @jax.jit
+    def program(params, key, data):
+        f, e_l = force_samples(params, key, data)
+        return jnp.mean(f, axis=0), f, e_l
+
+    mean, f, _ = program(params, key, data)
+    sem = jnp.std(f, axis=0) / jnp.sqrt(f.shape[0])
+    return mean, sem, f

@@ -220,3 +220,27 @@ def test_psiformer_ecp_kfac_forward_laplacian(tmp_path):
         cfg.log.save_frequency = 1e9
     result = train.train(cfg)
     assert np.all(np.isfinite(result.energies))
+
+
+def test_h2_forces_observable(tmp_path):
+    """cfg.observables.forces logs force_{a}_{x,y,z} columns (AD-SWCT
+    estimator, forces.py) with the translation sum rule holding per logged
+    row and z-antisymmetry across the two H atoms by symmetry of the mean."""
+    import csv
+
+    cfg = _h2_cfg()
+    with cfg.unlocked():
+        cfg.observables.forces = True
+        cfg.log.save_path = str(tmp_path)
+        cfg.log.stats_frequency = 1
+    result = train.train(cfg)
+    assert np.all(np.isfinite(result.energies))
+    with open(f"{result.ckpt_save_path}/train_states.csv") as f:
+        rows = list(csv.DictReader(f))
+    cols = [f"force_{a}_{d}" for a in range(2) for d in "xyz"]
+    for c in cols:
+        assert c in rows[0], f"missing column {c}"
+    vals = np.array([[float(r[c]) for c in cols] for r in rows])
+    assert np.all(np.isfinite(vals))
+    # Translation sum rule: sum over atoms of the batch-mean force is 0.
+    np.testing.assert_allclose(vals[:, :3] + vals[:, 3:], 0.0, atol=1e-3)
