@@ -1,0 +1,31 @@
+#!/bin/bash
+# Artifact heartbeat: every INTERVAL seconds, export the latest checkpoints
+# of the named runs into artifacts/ and pathspec-commit them. Complements the
+# per-leg commits in the queue scripts: a box swap mid-leg (legs are 90 min)
+# otherwise loses up to a whole leg of chip time even though checkpoints land
+# in runs/ every ~10 min (runs/ is gitignored and dies with the box).
+#
+# Checkpoint writes are atomic (write-to-tmp + rename), so copying mid-leg is
+# safe. Commits are pathspec-scoped so concurrent git activity in the session
+# is never swept in (ADVICE round-2 item).
+#
+# Usage: nohup bash scripts/artifact_heartbeat.sh <hard_end_epoch> [interval_s] &
+set -u
+cd /root/repo
+HARD_END="${1:?hard_end epoch required}"
+INTERVAL="${2:-900}"
+Q=/root/repo/runs/artifact_heartbeat.log
+mkdir -p runs
+echo "=== heartbeat start $(date) interval=${INTERVAL}s ===" >> "$Q"
+while [ "$(date +%s)" -lt "$HARD_END" ]; do
+  sleep "$INTERVAL"
+  bash scripts/export_artifacts.sh >> "$Q" 2>&1
+  if ! git diff --quiet -- artifacts 2>/dev/null || \
+     [ -n "$(git status --porcelain -- artifacts 2>/dev/null)" ]; then
+    git add artifacts >> "$Q" 2>&1 && \
+      git commit -q -m "Heartbeat: export run artifacts" -- artifacts \
+        >> "$Q" 2>&1 || true
+    echo "=== committed $(date) ===" >> "$Q"
+  fi
+done
+echo "=== heartbeat end $(date) ===" >> "$Q"
