@@ -20,6 +20,15 @@ echo "=== heartbeat start $(date) interval=${INTERVAL}s ===" >> "$Q"
 while [ "$(date +%s)" -lt "$HARD_END" ]; do
   sleep "$INTERVAL"
   bash scripts/export_artifacts.sh >> "$Q" 2>&1
+  # Keep only the 2 newest checkpoints per run in the working tree (the big
+  # flagship ckpts are 67 MB each; an unpruned 15-min cadence would grow the
+  # tree by GBs over a session). History still holds old blobs — that's fine.
+  for d in artifacts/*/; do
+    ls "$d"qmcjax_ckpt_*.npz 2>/dev/null | sort | head -n -2 | while read -r f; do
+      git rm -q --cached "$f" 2>/dev/null || true
+      rm -f "$f"
+    done
+  done
   if ! git diff --quiet -- artifacts 2>/dev/null || \
      [ -n "$(git status --porcelain -- artifacts 2>/dev/null)" ]; then
     git add artifacts >> "$Q" 2>&1 && \
