@@ -26,7 +26,9 @@ fi
 for name in "${names[@]}"; do
   dir="runs/$name"
   [ -d "$dir" ] || { echo "skip $name (no dir)"; continue; }
-  last=$(ls "$dir"/qmcjax_ckpt_*.npz 2>/dev/null | sort | tail -1)
+  # Numeric sort on the step field: lexicographic sort misorders checkpoints
+  # if a run ever exceeds the 6-digit zero padding (ADVICE round-3).
+  last=$(ls "$dir"/qmcjax_ckpt_*.npz 2>/dev/null | sort -t_ -k3 -n | tail -1)
   if [ -z "$last" ]; then echo "skip $name (no checkpoints)"; continue; fi
   mkdir -p "artifacts/$name"
   cp -f "$last" "artifacts/$name/"
@@ -34,10 +36,35 @@ for name in "${names[@]}"; do
   # export with the leg's starting step — successive exports of successive
   # legs then accumulate instead of clobbering the earlier trace (the bare
   # train_states.csv.gz name is kept for pre-suffix artifacts).
+  #
+  # ADVICE round-3 hardening: (a) a heartbeat tick in the post-restart window
+  # (header only, no data row yet) must NOT export — 'start' would be empty
+  # and the t0 default clobbered the real leg-0 trace with an empty gzip;
+  # (b) never replace an existing t*.csv.gz with a SMALLER file (the trace
+  # only grows within a leg); (c) the trainer appends concurrently, so strip
+  # a truncated final row (field count != header's) before gzipping.
   if [ -f "$dir/train_states.csv" ]; then
     start=$(sed -n 2p "$dir/train_states.csv" | cut -d, -f1)
-    gzip -c "$dir/train_states.csv" \
-      > "artifacts/$name/train_states.t${start:-0}.csv.gz"
+    if [ -z "$start" ]; then
+      echo "skip $name csv (no data rows yet)"
+    else
+      dest="artifacts/$name/train_states.t${start}.csv.gz"
+      tmp="${dest}.tmp"
+      # A concurrent append shows up as a final line with no trailing
+      # newline (possibly truncated mid-field, so NF alone can't catch it).
+      { if [ -n "$(tail -c1 "$dir/train_states.csv")" ]; then
+          head -n -1 "$dir/train_states.csv"
+        else
+          cat "$dir/train_states.csv"
+        fi; } | awk -F, 'NR==1{n=NF} NF==n' | gzip -c > "$tmp"
+      if [ -f "$dest" ] && \
+         [ "$(stat -c%s "$tmp")" -lt "$(stat -c%s "$dest")" ]; then
+        echo "skip $name csv (existing $dest is larger)"
+        rm -f "$tmp"
+      else
+        mv -f "$tmp" "$dest"
+      fi
+    fi
   fi
   if [ -f "$dir/DMC_states.csv" ]; then
     gzip -c "$dir/DMC_states.csv" > "artifacts/$name/DMC_states.csv.gz"
