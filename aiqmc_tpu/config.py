@@ -121,6 +121,11 @@ def default() -> ml_collections.ConfigDict:
                                     # ferminet (full linear on symmetric features)
         "pbc_smooth_r": False,      # smooth periodic r for Jastrow/envelope
                                     # (C^inf at the WS boundary) vs minimum image
+        "pbc_features": "sincos",   # sincos (upstream phase features) | gvector
+                                    # (the AIQMC tree's raw lattice-image
+                                    # expansion, ref PBC/nnPBC.py:104)
+        "pbc_gmax": 1,              # gvector variant: images per axis in
+                                    # [-g_max, g_max]^ndim
         "jastrow_ae": None,         # None = auto: a-e cusp Jastrow only for
                                     # all-electron systems (wrong at ECP cores)
         "jastrow_ee": "pade",       # pade (ref AIQMC, per-pair alpha) |

@@ -57,6 +57,8 @@ _NETWORK_FIELD_MAP = {
     "use_schnet": "use_schnet",
     "h_stream": "h_stream",
     "pbc_smooth_r": "pbc_smooth_r",
+    "pbc_features": "pbc_features",
+    "pbc_gmax": "pbc_gmax",
     "jastrow_ae": "jastrow_ae",
     "jastrow_ee": "jastrow_ee",
     "jastrow_scale": "jastrow_scale",

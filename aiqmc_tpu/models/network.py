@@ -500,14 +500,18 @@ def make_ai_net(nspins: Tuple[int, int],
                 use_schnet: bool = False,
                 h_stream: str = "ainet",
                 pbc_smooth_r: bool = False,
+                pbc_features: str = "sincos",
+                pbc_gmax: int = 1,
                 feature_layer: Optional[FeatureLayer] = None,
                 envelope=None) -> Network:
     """Builds the AI-Net (ref nn.py:511-553). See module docstring for options.
 
     ``lattice`` (rows = primitive vectors) switches to the periodic ansatz:
-    sin/cos phase features (ref ferminet/pbc/feature_layer.py; the AIQMC tree's
-    g-vector variant is PBC/nnPBC.py) and minimum-image displacements for the
-    Y_nlm stream, envelope and Jastrows.
+    sin/cos phase features (ref ferminet/pbc/feature_layer.py) and
+    minimum-image displacements for the Y_nlm stream, envelope and Jastrows.
+    ``pbc_features="gvector"`` selects the AIQMC tree's own raw
+    lattice-image expansion instead (ref PBC/nnPBC.py:104,
+    PBC/PBCenvelope.py:52-100), with ``pbc_gmax`` images per axis.
 
     ``feature_layer`` / ``envelope``: plugin-supplied overrides resolved from
     config strings (ref ferminet/train.py:440-467 make_feature_layer_fn /
@@ -522,10 +526,20 @@ def make_ai_net(nspins: Tuple[int, int],
         lattice = jnp.asarray(lattice)
     if feature_layer is None:
         if lattice is not None:
-            from aiqmc_tpu.pbc.features import make_pbc_feature_layer
-            feature_layer = make_pbc_feature_layer(
-                natoms, ndim=ndim, rescale_inputs=rescale_inputs,
-                lattice=lattice)
+            if pbc_features == "gvector":
+                from aiqmc_tpu.pbc.features import make_gvector_feature_layer
+                feature_layer = make_gvector_feature_layer(
+                    natoms, ndim=ndim, rescale_inputs=rescale_inputs,
+                    lattice=lattice, g_max=pbc_gmax)
+            elif pbc_features == "sincos":
+                from aiqmc_tpu.pbc.features import make_pbc_feature_layer
+                feature_layer = make_pbc_feature_layer(
+                    natoms, ndim=ndim, rescale_inputs=rescale_inputs,
+                    lattice=lattice)
+            else:
+                raise ValueError(
+                    f"Unknown pbc_features {pbc_features!r} "
+                    "(expected 'sincos' or 'gvector')")
         else:
             feature_layer = make_ainet_features(
                 natoms, ndim=ndim, rescale_inputs=rescale_inputs)

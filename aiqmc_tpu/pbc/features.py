@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Mapping, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from aiqmc_tpu.models.features import FeatureLayer
 
@@ -67,3 +68,80 @@ def make_pbc_feature_layer(natoms: int, ndim: int = 3,
                            lattice: Optional[jnp.ndarray] = None,
                            include_r_ae: bool = True) -> PbcFeatureLayer:
     return PbcFeatureLayer(natoms, ndim, rescale_inputs, lattice, include_r_ae)
+
+
+class GvectorFeatureLayer(FeatureLayer):
+    """Lattice-image expansion features (the AIQMC tree's own PBC variant).
+
+    Reference parity: ``AIQMCrelease3/PBC/PBCenvelope.py:52-100`` /
+    ``PBC/nnPBC.py:104`` feed, for every displacement, the stack of displaced
+    copies ``d + G`` over a grid of lattice vectors G together with their
+    norms — the raw g-vector alternative to the sin/cos parameterisation
+    above. Two deliberate departures from the reference, both documented
+    behaviour fixes rather than omissions:
+
+    * displacements are wrapped to the fundamental cell (fractional parts in
+      [-1/2, 1/2)) BEFORE the image expansion, which makes the features
+      exactly invariant under lattice translations of any particle — the
+      reference's unwrapped stack loses invariance at the grid boundary;
+    * the image grid is the full symmetric ``[-g_max, g_max]^ndim`` cube
+      (the reference hard-codes an asymmetric 2-D ``mgrid[-g:g, -g:g, 0:1]``
+      slice, a WIP artefact of its 2-D Ewald experiments).
+
+    One matmul-shaped tensor per feature block (images folded into the
+    feature axis) keeps the XLA program identical in structure to the
+    molecular layer — just a wider feature dimension.
+    """
+
+    def __init__(self, natoms: int, ndim: int = 3, rescale_inputs: bool = False,
+                 lattice: Optional[jnp.ndarray] = None, g_max: int = 1):
+        super().__init__(natoms, ndim, rescale_inputs)
+        self._lattice = jnp.eye(ndim) if lattice is None else jnp.asarray(lattice)
+        self._inv_lattice = jnp.linalg.inv(self._lattice)
+        grid = np.stack(np.meshgrid(
+            *([np.arange(-g_max, g_max + 1)] * ndim), indexing="ij"),
+            axis=-1).reshape(-1, ndim)
+        # Rows of the lattice are primitive vectors: G = n @ L.
+        self._gvectors = jnp.asarray(grid, dtype=self._lattice.dtype) @ self._lattice
+        self._n_images = grid.shape[0]
+
+    def init(self) -> Tuple[Tuple[int, int], Mapping]:
+        per_image = self._ndim + 1
+        return (self._natoms * self._n_images * per_image,
+                self._n_images * per_image), {}
+
+    def _expand(self, disp: jnp.ndarray, mask_diag: bool) -> jnp.ndarray:
+        """(…, ndim) displacements -> (…, n_images*(ndim+1)) image features."""
+        frac = disp @ self._inv_lattice
+        wrapped = (frac - jnp.round(frac)) @ self._lattice
+        imgs = wrapped[..., None, :] + self._gvectors  # (..., n_images, ndim)
+        if mask_diag:
+            # Gradient-safe zero diagonal (same convention as the molecular
+            # r_ee, ref nn.py:114-115): offset the norm argument so the
+            # derivative is finite at coincidence, zero the features after.
+            n = disp.shape[0]
+            eye = jnp.eye(n)
+            r = jnp.linalg.norm(imgs + eye[..., None, None], axis=-1)
+            feats = jnp.concatenate((r[..., None], imgs), axis=-1)
+            feats = feats * (1.0 - eye)[..., None, None]
+        else:
+            r = jnp.linalg.norm(imgs, axis=-1)
+            feats = jnp.concatenate((r[..., None], imgs), axis=-1)
+        if self._rescale:
+            r_safe = jnp.where(feats[..., :1] == 0.0, 1.0, r[..., None])
+            feats = feats * jnp.log(1 + r[..., None]) / r_safe
+        return jnp.reshape(feats, feats.shape[:-2] + (-1,))
+
+    def apply(self, ae, r_ae, ee, r_ee) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        del r_ae, r_ee  # recomputed per image
+        ae_f = self._expand(ae, mask_diag=False)
+        ee_f = self._expand(ee, mask_diag=True)
+        ae_f = jnp.reshape(ae_f, [ae_f.shape[0], -1])
+        return ae_f, ee_f
+
+
+def make_gvector_feature_layer(natoms: int, ndim: int = 3,
+                               rescale_inputs: bool = False,
+                               lattice: Optional[jnp.ndarray] = None,
+                               g_max: int = 1) -> GvectorFeatureLayer:
+    return GvectorFeatureLayer(natoms, ndim, rescale_inputs, lattice, g_max)
