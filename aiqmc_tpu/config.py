@@ -119,6 +119,9 @@ def default() -> ml_collections.ConfigDict:
             "use_schnet": False,        # SchNet-style two-electron convolutions
         "h_stream": "ainet",        # ainet (conv-reduce, ref nn.py:294-300) |
                                     # ferminet (full linear on symmetric features)
+        "y_stream": True,           # multiplicative Y_nlm orbital factor (ref
+                                    # nn.py:449-452); False = exact published
+                                    # FermiNet orbital form (ablation arm)
         "pbc_smooth_r": False,      # smooth periodic r for Jastrow/envelope
                                     # (C^inf at the WS boundary) vs minimum image
         "pbc_features": "sincos",   # sincos (upstream phase features) | gvector

@@ -56,6 +56,7 @@ _NETWORK_FIELD_MAP = {
     "envelope_type": "envelope_type",
     "use_schnet": "use_schnet",
     "h_stream": "h_stream",
+    "y_stream": "y_stream",
     "pbc_smooth_r": "pbc_smooth_r",
     "pbc_features": "pbc_features",
     "pbc_gmax": "pbc_gmax",

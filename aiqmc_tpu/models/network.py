@@ -112,7 +112,8 @@ def make_ai_net_layers(nspins: Tuple[int, int],
                        full_equivariance: bool = False,
                        regular_harmonics: bool = False,
                        use_schnet: bool = False,
-                       h_stream: str = "ainet"):
+                       h_stream: str = "ainet",
+                       y_stream: bool = True):
     """Dual-stream equivariant layers (ref nn.py:196-353).
 
     ``h_stream`` selects the one-electron update: "ainet" is the reference's
@@ -124,6 +125,13 @@ def make_ai_net_layers(nspins: Tuple[int, int],
     The h-stream interleaves a grouped-reduce layer with a dense layer and a
     residual; the Y_nlm stream is a small residual MLP on spherical-harmonic
     features of dimension 4*natoms + 2 (ref nn.py:220).
+
+    ``y_stream=False`` removes the Y_nlm stream entirely (no params, no
+    compute): with ``h_stream="ferminet"`` this is the exact published
+    FermiNet ansatz (ref ferminet/networks.py:676-774 with no multiplicative
+    Y factor) — the flagship-accuracy ablation arm (round-4), since the
+    always-on Y factor is the last structural difference from the recipe
+    behind published C ccECP VMC -5.4254.
     """
     nchannels = len([n for n in nspins if n > 0])
 
@@ -154,14 +162,16 @@ def make_ai_net_layers(nspins: Tuple[int, int],
                     layer_params["double"] = network_blocks.init_linear_layer(
                         double_key, in_dim=dims_two_in, out_dim=dims_two_out,
                         include_bias=True)
-                layer_params_y["single_Ynlm"] = network_blocks.init_linear_layer(
-                    single_y_key, in_dim=dims_y_in, out_dim=dims_y_out,
-                    include_bias=True)
+                if y_stream:
+                    layer_params_y["single_Ynlm"] = (
+                        network_blocks.init_linear_layer(
+                            single_y_key, in_dim=dims_y_in, out_dim=dims_y_out,
+                            include_bias=True))
+                    layers_y.append(layer_params_y)
+                    dims_y_in = dims_y_out
                 layers.append(layer_params)
-                layers_y.append(layer_params_y)
                 dims_one_in = dims_one_out
                 dims_two_in = dims_two_out
-                dims_y_in = dims_y_out
                 continue
             # Grouped-reduce weights: per-electron in reference mode, shared for
             # an exactly-antisymmetric ansatz (same 1/sqrt(nelec) scale).
@@ -180,8 +190,12 @@ def make_ai_net_layers(nspins: Tuple[int, int],
             layer_params["single"] = network_blocks.init_linear_layer(
                 single_key, in_dim=dims_one_full // network_blocks.CONV_GROUP,
                 out_dim=dims_one_out, include_bias=True)
-            layer_params_y["single_Ynlm"] = network_blocks.init_linear_layer(
-                single_y_key, in_dim=dims_y_in, out_dim=dims_y_out, include_bias=True)
+            if y_stream:
+                layer_params_y["single_Ynlm"] = network_blocks.init_linear_layer(
+                    single_y_key, in_dim=dims_y_in, out_dim=dims_y_out,
+                    include_bias=True)
+                layers_y.append(layer_params_y)
+                dims_y_in = dims_y_out
             if use_schnet:
                 key, lam_key, gam_key = jax.random.split(key, num=3)
                 layer_params["schnet"] = {
@@ -197,13 +211,12 @@ def make_ai_net_layers(nspins: Tuple[int, int],
                     double_key, in_dim=dims_two_in, out_dim=dims_two_out,
                     include_bias=True)
             layers.append(layer_params)
-            layers_y.append(layer_params_y)
             dims_one_in = dims_one_out
             dims_two_in = dims_two_out
-            dims_y_in = dims_y_out
         params["streams"] = layers
-        params["streams_y"] = layers_y
-        return dims_one_in, dims_y_in, params
+        if y_stream:
+            params["streams_y"] = layers_y
+        return dims_one_in, (dims_y_in if y_stream else 0), params
 
     def _residual(x, y):
         return (x + y) / jnp.sqrt(2.0) if x.shape == y.shape else y
@@ -245,6 +258,12 @@ def make_ai_net_layers(nspins: Tuple[int, int],
 
     def apply(params, ae, r_ae, ee, r_ee):
         ae_features, ee_features = feature_layer.apply(ae=ae, r_ae=r_ae, ee=ee, r_ee=r_ee)
+        if not y_stream:
+            h_one = ae_features
+            h_two = (ee_features,)
+            for i in range(len(hidden_dims)):
+                h_one, h_two = apply_layer(params["streams"][i], h_one, h_two)
+            return h_one, None
         # Y_nlm stream inputs (ref nn.py:327-339), fully vectorised. Regular
         # solid harmonics (smooth polynomials) are the default for training;
         # the reference's irregular Y_lm/r^l variant is kept for parity.
@@ -295,8 +314,12 @@ def make_orbitals(nspins: Tuple[int, int],
                   envelope_type: str = "pp_like",
                   envelope_kwargs: Optional[dict] = None,
                   envelope=None,
-                  pbc_smooth_r: bool = False):
-    """(Complex) orbitals x envelope x Y-orbitals x Jastrows (ref nn.py:356-508)."""
+                  pbc_smooth_r: bool = False,
+                  y_stream: bool = True):
+    """(Complex) orbitals x envelope x Y-orbitals x Jastrows (ref nn.py:356-508).
+
+    ``y_stream=False`` drops the multiplicative Y_nlm orbital factor (and its
+    parameters) — the exact published-FermiNet orbital form."""
     equivariant_layers_init, equivariant_layers_apply = equivariant_layers
     (jastrow_ee_init, jastrow_ee_apply, jastrow_ae_init, jastrow_ae_apply
      ) = jastrow_lib.get_jastrow(charges, per_electron_ae=not full_equivariance,
@@ -341,9 +364,10 @@ def make_orbitals(nspins: Tuple[int, int],
                 include_bias=bias_orbitals))
         key, y_key, env_key = jax.random.split(key, num=3)
         params["orbitals"] = orbitals
-        params["y"] = [network_blocks.init_linear_layer(
-            y_key, in_dim=dims_y_in, out_dim=determinants * nelectrons,
-            include_bias=False)]
+        if y_stream:
+            params["y"] = [network_blocks.init_linear_layer(
+                y_key, in_dim=dims_y_in, out_dim=determinants * nelectrons,
+                include_bias=False)]
         params["jastrow_ee"] = jastrow_ee_init(
             n_parallel=n_parallel, n_antiparallel=n_antiparallel)
         params["jastrow_ae"] = jastrow_ae_init(nelectrons=nelectrons, natoms=natoms)
@@ -426,13 +450,16 @@ def make_orbitals(nspins: Tuple[int, int],
             for o in orbitals]
         orbitals = jnp.concatenate(orbitals, axis=-2)  # (..., ndet, nelec, nelec)
 
-        # Y-stream orbital factor with row-normalised coefficients (ref nn.py:449-452).
-        w_y = params["y"][0]["w"]
-        w_y = w_y / jnp.linalg.norm(w_y, axis=-1, keepdims=True)
-        y_orbitals = network_blocks.linear_layer(y_to_orbitals, w_y)
-        y_orbitals = y_orbitals[row_perm]  # rows follow the det-matrix order
-        y_orbitals = jnp.transpose(
-            jnp.reshape(y_orbitals, (nelectrons, determinants, nelectrons)), (1, 0, 2))
+        if y_stream:
+            # Y-stream orbital factor with row-normalised coefficients
+            # (ref nn.py:449-452).
+            w_y = params["y"][0]["w"]
+            w_y = w_y / jnp.linalg.norm(w_y, axis=-1, keepdims=True)
+            y_orbitals = network_blocks.linear_layer(y_to_orbitals, w_y)
+            y_orbitals = y_orbitals[row_perm]  # rows follow det-matrix order
+            y_orbitals = jnp.transpose(
+                jnp.reshape(y_orbitals, (nelectrons, determinants, nelectrons)),
+                (1, 0, 2))
 
         # Envelope (ref nn.py:479-485; envelope.py:26-30), vectorised.
         r_ae_sorted = r_ae[row_perm]
@@ -446,7 +473,8 @@ def make_orbitals(nspins: Tuple[int, int],
             env = jnp.transpose(
                 jnp.reshape(env, (nelectrons, determinants, nelectrons)), (1, 0, 2))
             orbitals = orbitals * env
-        orbitals = orbitals * y_orbitals
+        if y_stream:
+            orbitals = orbitals * y_orbitals
 
         # Jastrow factors (ref nn.py:490-504). The exp(J / nelectrons) factor
         # multiplies every ROW of the determinant matrix, so the determinant
@@ -502,6 +530,7 @@ def make_ai_net(nspins: Tuple[int, int],
                 pbc_smooth_r: bool = False,
                 pbc_features: str = "sincos",
                 pbc_gmax: int = 1,
+                y_stream: bool = True,
                 feature_layer: Optional[FeatureLayer] = None,
                 envelope=None) -> Network:
     """Builds the AI-Net (ref nn.py:511-553). See module docstring for options.
@@ -549,7 +578,8 @@ def make_ai_net(nspins: Tuple[int, int],
         full_equivariance=full_equivariance,
         regular_harmonics=regular_harmonics,
         use_schnet=use_schnet,
-        h_stream=h_stream)
+        h_stream=h_stream,
+        y_stream=y_stream)
     orbitals_init, orbitals_apply = make_orbitals(
         nspins=nspins, nelectrons=nelectrons, charges=charges,
         parallel_indices=parallel_indices, antiparallel_indices=antiparallel_indices,
@@ -563,7 +593,7 @@ def make_ai_net(nspins: Tuple[int, int],
         jastrow_ae=jastrow_ae, jastrow_ee=jastrow_ee,
         lattice=lattice, envelope_type=envelope_type,
         envelope_kwargs=envelope_kwargs, envelope=envelope,
-        pbc_smooth_r=pbc_smooth_r)
+        pbc_smooth_r=pbc_smooth_r, y_stream=y_stream)
 
     def init(key: chex.PRNGKey) -> ParamTree:
         _, subkey = jax.random.split(key)

@@ -202,6 +202,7 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         envelope_kwargs=_envelope_kwargs(cfg, nelectrons),
         use_schnet=cfg.network.get("use_schnet", False),
         h_stream=cfg.network.get("h_stream", "ainet"),
+        y_stream=cfg.network.get("y_stream", True),
         pbc_smooth_r=cfg.network.get("pbc_smooth_r", False),
         pbc_features=cfg.network.get("pbc_features", "sincos"),
         pbc_gmax=cfg.network.get("pbc_gmax", 1),
