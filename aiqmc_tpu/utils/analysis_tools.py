@@ -197,6 +197,126 @@ def excited_state_summary(path: str, states: int,
     return out
 
 
+def vmc_convergence_fit(traces, t_min: float = 2000.0,
+                        window: int = 1000, nmad: float = 5.0,
+                        targets=(), target_energies=()):
+    """Power-law extrapolation of a (multi-leg) VMC optimisation trajectory.
+
+    KFAC/natural-gradient VMC under a 1/(1+t/t0) learning-rate schedule
+    approaches its plateau as E(t) ~ E_inf + A * t^(-alpha) (empirically
+    alpha ~ 0.5-1.5 on this workload; the round-2 flagship moved 1/t-slow,
+    BASELINE.md 67k row). Fitting that tail answers the question a fixed
+    session budget cannot: where does THIS arm converge, and how many
+    iterations would a given bar cost?
+
+    For fixed alpha the model is LINEAR in (E_inf, A), so the fit is a scan
+    over alpha with a closed-form weighted least-squares solve per value —
+    no optimiser, deterministic, and the covariance of (E_inf, A) at the
+    best alpha gives the quoted uncertainty (alpha-scan spread is folded in
+    as a systematic: the e_inf range over alphas within chi2_min + 1).
+
+    Args:
+      traces: iterable of train_states.csv paths (gzipped ok) covering
+        successive legs of one run; concatenated on their step column.
+      t_min: discard steps below this (the power law only holds past the
+        early transient).
+      window: iteration width of the robust averaging windows.
+      targets: iterations at which to report the predicted energy.
+      target_energies: energies (Ha) for which to report the predicted
+        iteration count (inf if below the fitted asymptote).
+
+    Returns dict with e_inf, e_inf_err (stat), e_inf_sys (alpha-scan
+    spread), alpha, amplitude, chi2_dof, windows used, predictions.
+    """
+    import gzip
+
+    steps_all, e_all = [], []
+    for path in traces:
+        opener = gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "rt") as f:
+            rows = list(csv.DictReader(f))
+        for r in rows:
+            try:
+                steps_all.append(float(r["step"]))
+                e_all.append(float(r["energy"]))
+            except (KeyError, TypeError, ValueError):
+                continue
+    steps = np.asarray(steps_all)
+    e = np.asarray(e_all)
+    order = np.argsort(steps, kind="stable")
+    steps, e = steps[order], e[order]
+    keep = np.isfinite(e) & (steps >= t_min)
+    steps, e = steps[keep], e[keep]
+    if steps.size < 10:
+        raise ValueError("not enough samples past t_min for a fit")
+
+    # Robust window means (MAD-trimmed; QMC per-step energies are fat-tailed).
+    t_w, y_w, s_w = [], [], []
+    lo = steps.min()
+    while lo < steps.max():
+        hi = lo + window
+        m = (steps >= lo) & (steps < hi)
+        if m.sum() >= window // 4:
+            kept = e[m][mad_outlier_mask(e[m], nmad)]
+            t_w.append(float(steps[m].mean()))
+            y_w.append(float(kept.mean()))
+            s_w.append(float(kept.std() / np.sqrt(kept.size)))
+        lo = hi
+    t_w = np.asarray(t_w)
+    y_w = np.asarray(y_w)
+    s_w = np.maximum(np.asarray(s_w), 1e-12)
+    if t_w.size < 4:
+        raise ValueError("fewer than 4 fit windows; widen the trace")
+
+    w = 1.0 / s_w ** 2
+    best = None
+    scan = []
+    for alpha in np.linspace(0.2, 2.5, 231):
+        x = t_w ** (-alpha)          # E = e_inf + A x: linear LSQ
+        W = w.sum()
+        xw, yw = (w * x).sum(), (w * y_w).sum()
+        xx, xy = (w * x * x).sum(), (w * x * y_w).sum()
+        det = W * xx - xw * xw
+        if det <= 0:
+            continue
+        e_inf = (xx * yw - xw * xy) / det
+        amp = (W * xy - xw * yw) / det
+        chi2 = float((w * (y_w - e_inf - amp * x) ** 2).sum())
+        scan.append((alpha, e_inf, amp, chi2, float(np.sqrt(xx / det))))
+        if best is None or chi2 < best[3]:
+            best = scan[-1]
+    alpha, e_inf, amp, chi2, e_inf_err = best
+    dof = max(1, t_w.size - 3)
+    # Window errors only capture sampling noise; trajectory wiggle (lr-phase
+    # changes, restore transients) shows up as chi2/dof > 1. Inflate the
+    # parameter errors by sqrt(chi2/dof) (standard GLS error scaling) and
+    # widen the alpha-scan acceptance band by the same factor, so the quoted
+    # uncertainties reflect the actual scatter, not the nominal error bars.
+    scale = max(1.0, chi2 / dof)
+    e_inf_err *= float(np.sqrt(scale))
+    # Systematic from the alpha scan: e_inf range over chi2 <= chi2_min + scale.
+    ok = [s[1] for s in scan if s[3] <= chi2 + scale]
+    e_inf_sys = float((max(ok) - min(ok)) / 2.0) if len(ok) > 1 else 0.0
+
+    def predict(t):
+        return float(e_inf + amp * t ** (-alpha))
+
+    def iters_for(energy):
+        if amp <= 0 or energy <= e_inf:
+            return float("inf")
+        return float((amp / (energy - e_inf)) ** (1.0 / alpha))
+
+    return {
+        "e_inf": float(e_inf), "e_inf_err": float(e_inf_err),
+        "e_inf_sys": e_inf_sys, "alpha": float(alpha),
+        "amplitude": float(amp), "chi2_dof": chi2 / dof,
+        "n_windows": int(t_w.size),
+        "t_range": (float(t_w.min()), float(t_w.max())),
+        "predicted": {int(t): predict(t) for t in targets},
+        "iters_for": {float(v): iters_for(v) for v in target_energies},
+    }
+
+
 def dmc_tau_extrapolation(runs, nmad: float = 5.0):
     """Linear time-step extrapolation of DMC energies to tau -> 0.
 
