@@ -7,7 +7,10 @@ with frozen weights on a fresh equilibrated walker population. A real
 improvement survives; noise-fitting evaporates.
 
 Usage: ... eval_frozen_c.py <restore_dir> [iters] [batch] [h_stream] [width]
-       [dets] [laplacian]
+       [dets] [laplacian] [ema]
+
+ema: raw (default) | ema — "ema" evaluates the Polyak-averaged trial from the
+checkpoint extras (log.restore_use_ema), the same params DMC consumes.
 """
 import sys
 
@@ -23,6 +26,7 @@ h_stream = sys.argv[4] if len(sys.argv) > 4 else "ferminet"
 width = int(sys.argv[5]) if len(sys.argv) > 5 else 256
 dets = int(sys.argv[6]) if len(sys.argv) > 6 else 16
 laplacian = sys.argv[7] if len(sys.argv) > 7 else "forward"
+use_ema = (sys.argv[8] if len(sys.argv) > 8 else "raw") == "ema"
 
 cfg = c_atom_ccecp.get_config()
 with cfg.unlocked():
@@ -42,6 +46,7 @@ with cfg.unlocked():
     cfg.mcmc.burn_in = 400
     cfg.log.restore_path = restore
     cfg.log.restore_resize = True
+    cfg.log.restore_use_ema = use_ema
     cfg.log.save_path = "/root/repo/runs/eval_" + restore.rstrip("/").split("/")[-1]
     cfg.log.save_frequency = 1e9
 

@@ -33,6 +33,16 @@ git add artifacts/pytest_full_r4.log 2>/dev/null && \
   git commit -q -m "Round-4 full-suite run log" \
     -- artifacts/pytest_full_r4.log 2>/dev/null || true
 
+# --- stage 1b: frozen EMA eval of the wide arm (pins the flagship number) ---
+now=$(date +%s)
+if [ $(( HARD_END - now )) -ge 2400 ]; then
+  echo "=== wide-arm frozen EMA eval start $(date) ===" >> "$Q"
+  timeout 2700 python -u scripts/eval_frozen_c.py /root/repo/runs/c_kfac_wide \
+    600 2048 ferminet 512 16 forward ema > runs/eval_wide_ema.log 2>&1
+  grep "FROZEN EVAL" runs/eval_wide_ema.log >> "$Q" || \
+    echo "=== wide eval produced no result (rc/wedge) ===" >> "$Q"
+fi
+
 # --- stage 2: HEG showcase ---
 now=$(date +%s); remaining=$(( HARD_END - now - 1200 ))
 if [ "$remaining" -ge 2400 ]; then
