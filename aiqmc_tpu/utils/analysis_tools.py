@@ -137,7 +137,8 @@ def robust_block_stats(blocks: np.ndarray, nmad: float = 5.0
 
 
 def excited_state_summary(path: str, states: int,
-                          burn_fraction: float = 0.2) -> Dict[str, object]:
+                          burn_fraction: float = 0.2,
+                          degeneracy_tol: float = 5e-3) -> Dict[str, object]:
     """Spectroscopy summary of a NES-VMC excited-states run.
 
     Consumes the per-state energy columns and the S^2 / dipole STATE-MATRIX
@@ -155,6 +156,22 @@ def excited_state_summary(path: str, states: int,
     exactly (Pfau, Axelrod, Huang & Cassella 2023, "Natural excited states
     of quantum systems" — the same recipe the upstream applies to its
     observable matrices), giving the physical |<0|O|k>|^2 per component.
+
+    Degenerate subtlety (measured on the Li showcase): the product identity
+    assumes the trained states are the (orthogonal) eigenstates. Within a
+    DEGENERATE multiplet (e.g. the three Li 2P components) the NES objective
+    only enforces linear independence, so the converged states are arbitrary
+    non-orthogonal mixtures and the raw-basis product can even go
+    systematically negative. Both estimator matrices converge to
+    S^{-1}·O_phys in the trained basis, so a similarity transform by the
+    eigenvectors V of the energy matrix moves every observable matrix into
+    the (orthogonal up to degeneracy) eigenbasis, where the product identity
+    holds state-by-state; within a residual quasi-degenerate block the
+    block-SUM of products is invariant under the remaining basis freedom and
+    equals the total line strength into the multiplet. This routine
+    therefore (a) transforms the dipole matrices by V before forming
+    products and (b) also reports block-summed strengths for clusters closer
+    than ``degeneracy_tol``.
     """
     stats = read_train_stats(path)
     burn = int(len(stats["energy"]) * burn_fraction)
@@ -166,27 +183,34 @@ def excited_state_summary(path: str, states: int,
 
     energies = [col_mean(f"energy_state_{k}") for k in range(states)]
     out: Dict[str, object] = {"energies": energies}
+    eigvecs = None
     if f"energy_mat_{0}{0}" in stats:
-        # Eigenvalues of the mean energy matrix: NES-VMC states are
+        # Eigen-decomposition of the mean energy matrix: NES-VMC states are
         # non-orthogonal, so the raw diagonal mixes states; diagonalising
         # E[M^{-1} H M] (Pfau et al. 2023 eq. for the energy estimator)
-        # unmixes them.
+        # unmixes them. The eigenVECTORS define the change of basis every
+        # observable matrix must follow (see docstring).
         mat = np.array([[col_mean(f"energy_mat_{i}{j}")
                          for j in range(states)] for i in range(states)])
-        out["energies_eig"] = sorted(np.linalg.eigvals(mat).real.tolist())
+        w, v = np.linalg.eig(mat)
+        order = np.argsort(w.real)
+        out["energies_eig"] = w.real[order].tolist()
+        eigvecs = v[:, order]
     if f"s2_{0}{0}" in stats:
         out["s2"] = [col_mean(f"s2_{k}{k}") for k in range(states)]
     if f"dipole_x_{0}{0}" in stats:
-        # Excitation energies from the eigen-unmixed matrix when available:
-        # the raw diagonal mixes states until training fully converges, and
-        # the two agree at convergence (the dipole matrix indices live in the
-        # raw state basis either way — the inconsistency is second-order).
         e_for_de = out.get("energies_eig", energies)
+        dip = {}
+        for d in "xyz":
+            m = np.array([[col_mean(f"dipole_{d}_{i}{j}")
+                           for j in range(states)] for i in range(states)])
+            if eigvecs is not None:
+                m = np.linalg.solve(eigvecs, m @ eigvecs).real
+            dip[d] = m
         transitions = []
         for k in range(1, states):
             de = e_for_de[k] - e_for_de[0]
-            d2 = sum(col_mean(f"dipole_{d}_0{k}") * col_mean(f"dipole_{d}_{k}0")
-                     for d in "xyz")
+            d2 = sum(dip[d][0, k] * dip[d][k, 0] for d in "xyz")
             transitions.append({
                 "state": k,
                 "excitation_ha": de,
@@ -194,6 +218,30 @@ def excited_state_summary(path: str, states: int,
                 "oscillator_strength": 2.0 / 3.0 * de * d2,
             })
         out["transitions"] = transitions
+        # Quasi-degenerate multiplets: per-state strengths inside a block
+        # depend on the residual basis freedom; their block SUM does not.
+        blocks, cur = [], [1]
+        for k in range(2, states):
+            if abs(e_for_de[k] - e_for_de[cur[-1]]) < degeneracy_tol:
+                cur.append(k)
+            else:
+                blocks.append(cur)
+                cur = [k]
+        blocks.append(cur)
+        multiplets = []
+        for blk in blocks:
+            if len(blk) < 2:
+                continue
+            d2 = sum(dip[d][0, k] * dip[d][k, 0] for d in "xyz" for k in blk)
+            de = float(np.mean([e_for_de[k] for k in blk])) - e_for_de[0]
+            multiplets.append({
+                "states": list(blk),
+                "excitation_ha": de,
+                "dipole_strength_total": d2,
+                "oscillator_strength_total": 2.0 / 3.0 * de * d2,
+            })
+        if multiplets:
+            out["multiplets"] = multiplets
     return out
 
 

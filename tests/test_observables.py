@@ -181,47 +181,85 @@ def test_s2_angle_representation_matches_sign():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
-def test_excited_state_summary(tmp_path):
-    """excited_state_summary: per-state energies/S^2 from the diagonal
-    columns; oscillator strength f = (2/3) dE * sum_d O^d_0k O^d_k0 with the
-    normalisation-cancelling product of off-diagonal dipole elements."""
-    import csv as csv_mod
-    from aiqmc_tpu.utils import analysis_tools
+def _write_excited_csv(path, energies_phys, dipole_phys, mixing, s2_diag):
+    """Synthesise the train-loop CSV for trained states phi_i = sum_a A_ia psi_a.
 
-    path = tmp_path / "train_states.csv"
-    cols = ["energy", "energy_state_0", "energy_state_1",
-            "s2_00", "s2_01", "s2_10", "s2_11",
-            "energy_mat_00", "energy_mat_01", "energy_mat_10",
-            "energy_mat_11"]
-    cols += [f"dipole_{d}_{i}{j}" for d in "xyz" for i in range(2)
-             for j in range(2)]
-    row = {"energy": -5.0, "energy_state_0": -3.0, "energy_state_1": -2.5,
-           "s2_00": 0.75, "s2_01": 0.0, "s2_10": 0.0, "s2_11": 2.0,
-           # energy matrix [[-3, 0.1], [0.1, -2.5]]: eigvals -3.0196.., -2.4803..
-           "energy_mat_00": -3.0, "energy_mat_01": 0.1,
-           "energy_mat_10": 0.1, "energy_mat_11": -2.5}
-    # O_0k = 0.4/0.0/0.0, O_k0 = 0.1/0.0/0.0 -> |<0|r|1>|^2 = 0.04.
-    for d in "xyz":
-        for i in range(2):
-            for j in range(2):
-                row[f"dipole_{d}_{i}{j}"] = 0.0
-    row["dipole_x_01"], row["dipole_x_10"] = 0.4, 0.1
+    The logged NES estimator matrices converge to S^{-1}·<phi|O|phi> in the
+    TRAINED basis; for orthonormal physical eigenstates psi with diagonal
+    energies E and dipole matrix D that is A^{-T} E A^T / A^{-T} D A^T.
+    """
+    import csv as csv_mod
+
+    ainv_t = np.linalg.inv(mixing).T
+    emat = ainv_t @ np.diag(energies_phys) @ mixing.T
+    k = len(energies_phys)
+    row = {"energy": float(np.mean(energies_phys))}
+    for i in range(k):
+        row[f"energy_state_{i}"] = emat[i, i]
+        row[f"s2_{i}{i}"] = s2_diag[i]
+    for i in range(k):
+        for j in range(k):
+            row[f"energy_mat_{i}{j}"] = emat[i, j]
+    for di, d in enumerate("xyz"):
+        dmat = ainv_t @ dipole_phys[di] @ mixing.T
+        for i in range(k):
+            for j in range(k):
+                row[f"dipole_{d}_{i}{j}"] = dmat[i, j]
     with open(path, "w", newline="") as f:
-        w = csv_mod.DictWriter(f, fieldnames=cols)
+        w = csv_mod.DictWriter(f, fieldnames=list(row))
         w.writeheader()
         for _ in range(10):
             w.writerow(row)
 
+
+def test_excited_state_summary(tmp_path):
+    """excited_state_summary recovers physical excitations and |<0|r|k>|^2
+    from estimator matrices logged in an arbitrarily MIXED (non-orthogonal)
+    trained basis: the energy-matrix eigenvectors define the transform, and
+    the O_0k*O_k0 product in that eigenbasis cancels all normalisations."""
+    from aiqmc_tpu.utils import analysis_tools
+
+    path = tmp_path / "train_states.csv"
+    e_phys = np.array([-3.0, -2.5])
+    # |<0|x|1>|^2 = 0.2^2 = 0.04 (symmetric physical dipole matrix).
+    dip = [np.array([[0.0, 0.2], [0.2, 0.0]]), np.zeros((2, 2)),
+           np.zeros((2, 2))]
+    rng = np.random.default_rng(7)
+    mixing = np.eye(2) + 0.3 * rng.standard_normal((2, 2))
+    _write_excited_csv(path, e_phys, dip, mixing, s2_diag=[0.75, 2.0])
+
     out = analysis_tools.excited_state_summary(str(path), states=2)
-    np.testing.assert_allclose(out["energies"], [-3.0, -2.5])
-    want_eig = np.linalg.eigvals(np.array([[-3.0, 0.1], [0.1, -2.5]]))
-    np.testing.assert_allclose(out["energies_eig"], sorted(want_eig.real))
+    np.testing.assert_allclose(out["energies_eig"], e_phys, atol=1e-12)
     np.testing.assert_allclose(out["s2"], [0.75, 2.0])
     t = out["transitions"][0]
-    # Excitation energies come from the eigen-unmixed energy matrix when the
-    # energy_mat columns exist (raw diagonal mixes states pre-convergence).
-    want_de = float(sorted(want_eig.real)[1] - sorted(want_eig.real)[0])
-    np.testing.assert_allclose(t["excitation_ha"], want_de)
-    np.testing.assert_allclose(t["dipole_strength"], 0.04)
+    np.testing.assert_allclose(t["excitation_ha"], 0.5, atol=1e-12)
+    np.testing.assert_allclose(t["dipole_strength"], 0.04, atol=1e-10)
     np.testing.assert_allclose(t["oscillator_strength"],
-                               2.0 / 3.0 * want_de * 0.04)
+                               2.0 / 3.0 * 0.5 * 0.04, atol=1e-10)
+
+
+def test_excited_state_summary_degenerate_block(tmp_path):
+    """Within an exactly degenerate multiplet the per-state strength split is
+    basis-arbitrary, but the block SUM of O_0k*O_k0 is invariant and equals
+    the total line strength into the multiplet (the Li 2P situation)."""
+    from aiqmc_tpu.utils import analysis_tools
+
+    path = tmp_path / "train_states.csv"
+    e_phys = np.array([-7.5, -7.4, -7.4])
+    # Physical strengths |<0|x|1>|^2 = 0.36, |<0|y|2>|^2 = 0.25 -> block 0.61.
+    dx = np.zeros((3, 3)); dx[0, 1] = dx[1, 0] = 0.6
+    dy = np.zeros((3, 3)); dy[0, 2] = dy[2, 0] = 0.5
+    rng = np.random.default_rng(3)
+    mixing = np.eye(3) + 0.25 * rng.standard_normal((3, 3))
+    _write_excited_csv(path, e_phys, [dx, dy, np.zeros((3, 3))], mixing,
+                       s2_diag=[0.75, 0.75, 0.75])
+
+    out = analysis_tools.excited_state_summary(str(path), states=3)
+    np.testing.assert_allclose(sorted(out["energies_eig"]), e_phys,
+                               atol=1e-10)
+    (blk,) = out["multiplets"]
+    assert blk["states"] == [1, 2]
+    np.testing.assert_allclose(blk["excitation_ha"], 0.1, atol=1e-10)
+    np.testing.assert_allclose(blk["dipole_strength_total"], 0.61, atol=1e-9)
+    np.testing.assert_allclose(blk["oscillator_strength_total"],
+                               2.0 / 3.0 * 0.1 * 0.61, atol=1e-9)
