@@ -70,8 +70,10 @@ if [ "$(left)" -ge 2100 ]; then
       -- artifacts/li_excited_full 2>/dev/null || true
 fi
 
-# --- stage 3: the expensive tau point ---
-dmc_tau 0.01 80 c_dmc_tau001 4200
+# --- stage 3: the expensive tau point, only if the window is generous ---
+# (3 matched points already validate the linear model with 1 dof; the
+# published-form arm below outranks a 4th point.)
+[ "$(left)" -ge 9000 ] && dmc_tau 0.01 80 c_dmc_tau001 4200
 
 # --- stage 4: tau->0 extrapolation over whatever landed ---
 python - <<'PYEOF' >> "$Q" 2>&1
@@ -86,17 +88,22 @@ if len(runs) >= 2:
     print("TAU-EXTRAP", at.dmc_tau_extrapolation(runs))
 PYEOF
 
-# --- stage 5: no-Y ablation legs fill the remainder ---
+# --- stage 5: published-form arm legs fill the remainder ---
+# h ferminet + y_stream OFF + isotropic exponential envelope = the exact
+# published-FermiNet orbital form (BOTH structural deltas to the published
+# recipe removed; pp_like's Gaussian tail cannot represent the exponential
+# valence decay). Restorable arm: next rounds continue it.
 leg=0
 while [ "$(left)" -ge 1500 ]; do
   leg=$(( leg + 1 )); tmo=5400; [ "$tmo" -gt "$(left)" ] && tmo=$(left)
-  echo "=== noy leg $leg start tmo=${tmo}s $(date) ===" >> "$Q"
+  echo "=== pubform leg $leg start tmo=${tmo}s $(date) ===" >> "$Q"
   timeout "$tmo" python -u scripts/run_c_ccecp_kfac_fstream.py 99999 \
-    /root/repo/runs/c_noy forward 16 256 off > "runs/c_noy_f${leg}.log" 2>&1
-  echo "=== noy leg $leg ended rc=$? $(date) ===" >> "$Q"
-  bash scripts/export_artifacts.sh c_noy >> "$Q" 2>&1
-  git add artifacts/c_noy 2>/dev/null && \
-    git commit -q -m "Checkpoint no-Y ablation arm leg (follow-on)" \
-      -- artifacts/c_noy 2>/dev/null || true
+    /root/repo/runs/c_pubform forward 16 256 off isotropic \
+    > "runs/c_pubform_f${leg}.log" 2>&1
+  echo "=== pubform leg $leg ended rc=$? $(date) ===" >> "$Q"
+  bash scripts/export_artifacts.sh c_pubform >> "$Q" 2>&1
+  git add artifacts/c_pubform 2>/dev/null && \
+    git commit -q -m "Checkpoint published-form arm leg (follow-on)" \
+      -- artifacts/c_pubform 2>/dev/null || true
 done
 echo "=== follow-on queue finished $(date) ===" >> "$Q"

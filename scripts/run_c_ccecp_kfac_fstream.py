@@ -13,7 +13,7 @@ lr-boost/SPRING arms have reported (ROADMAP.md round-3 plan).
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
        scripts/run_c_ccecp_kfac_fstream.py [iterations] [save_path] \
-           [laplacian] [determinants] [width] [y_stream]
+           [laplacian] [determinants] [width] [y_stream] [envelope]
 
 laplacian: forward (default) | default — pass "default" when
 scripts/probe_forward_real.py FAILs on the current chip toolchain.
@@ -22,10 +22,16 @@ structural levers once an arm plateaus (ROADMAP; published -5.4254 uses a
 2x-wide net) — either changes the param tree, so pass a FRESH save_path
 with them (restore would fail).
 y_stream: on (default) | off — "off" removes the multiplicative Y_nlm
-orbital factor entirely (exact published-FermiNet orbital form; round-4
-ablation arm after BOTH the f-stream and 2x-wide trajectories extrapolated
-to asymptotes ~7 mHa above the published -5.4254 — the Y factor is the last
-structural difference). Changes the param tree: fresh save_path.
+orbital factor entirely (round-4 ablation arm after BOTH the f-stream and
+2x-wide trajectories extrapolated to asymptotes ~7 mHa above the published
+-5.4254). Changes the param tree: fresh save_path.
+envelope: pp_like (default, the reference's flexible-Gaussian form) or any
+envelopes_zoo name — "isotropic" is the published-FermiNet envelope
+(exp(-sigma*r) per orbital; the Gaussian pp_like tail cannot represent the
+exponential valence decay, so this is the SECOND structural delta to the
+published orbital form alongside Y_nlm). "off isotropic" together = the
+exact published-FermiNet orbital form. Changes the param tree: fresh
+save_path.
 """
 import sys
 
@@ -40,6 +46,7 @@ laplacian = sys.argv[3] if len(sys.argv) > 3 else "forward"
 determinants = int(sys.argv[4]) if len(sys.argv) > 4 else 16
 width = int(sys.argv[5]) if len(sys.argv) > 5 else 256
 y_stream = (sys.argv[6] if len(sys.argv) > 6 else "on") != "off"
+envelope = sys.argv[7] if len(sys.argv) > 7 else "pp_like"
 
 cfg = c_atom_ccecp.get_config()
 with cfg.unlocked():
@@ -50,6 +57,7 @@ with cfg.unlocked():
     cfg.network.determinants = determinants
     cfg.network.h_stream = "ferminet"
     cfg.network.y_stream = y_stream
+    cfg.network.envelope_type = envelope
     cfg.optim.optimizer = "kfac"
     cfg.optim.laplacian = laplacian
     cfg.system.pp.quadrature = "icosahedral12"
