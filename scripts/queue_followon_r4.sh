@@ -70,6 +70,16 @@ if [ "$(left)" -ge 2100 ]; then
       -- artifacts/li_excited_full 2>/dev/null || true
 fi
 
+# --- stage 2b: C2 equilibrium-bond AD-SWCT forces (frozen eval, EMA trial) ---
+if [ "$(left)" -ge 2000 ]; then
+  tmo=2400; [ "$tmo" -gt "$(left)" ] && tmo=$(left)
+  echo "=== c2 forces start tmo=${tmo}s $(date) ===" >> "$Q"
+  timeout "$tmo" python -u scripts/run_c2_forces.py /root/repo/runs/c2_kfac \
+    400 1024 /root/repo/runs/c2_forces 2.348 > runs/c2_forces.log 2>&1
+  echo "=== c2 forces done rc=$? $(date) ===" >> "$Q"
+  grep "FORCES\|FROZEN" runs/c2_forces.log >> "$Q" || true
+fi
+
 # --- stage 3: the expensive tau point, only if the window is generous ---
 # (3 matched points already validate the linear model with 1 dof; the
 # published-form arm below outranks a 4th point.)
