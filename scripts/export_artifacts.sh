@@ -67,7 +67,26 @@ for name in "${names[@]}"; do
     fi
   fi
   if [ -f "$dir/DMC_states.csv" ]; then
-    gzip -c "$dir/DMC_states.csv" > "artifacts/$name/DMC_states.csv.gz"
+    # DMC restarts reset block numbering to 0 with a fresh CSV, so a new
+    # export can legitimately hold FEWER rows than the artifact — that means
+    # it is a NEW leg, not a shrunken trace. Rotate the old trace aside
+    # (DMC_states.prevN.csv.gz) instead of clobbering it (a 07:54 export
+    # this round destroyed the round-3 60-block C2 trace this way).
+    dest="artifacts/$name/DMC_states.csv.gz"
+    tmp="${dest}.tmp"
+    gzip -c "$dir/DMC_states.csv" > "$tmp"
+    if [ -f "$dest" ]; then
+      new_rows=$(zcat "$tmp" | wc -l); old_rows=$(zcat "$dest" | wc -l)
+      if [ "$new_rows" -lt "$old_rows" ]; then
+        n=1
+        while [ -f "artifacts/$name/DMC_states.prev${n}.csv.gz" ]; do
+          n=$(( n + 1 ))
+        done
+        mv "$dest" "artifacts/$name/DMC_states.prev${n}.csv.gz"
+        echo "rotated $name DMC trace (${old_rows} rows) to prev${n}"
+      fi
+    fi
+    mv -f "$tmp" "$dest"
   fi
   echo "exported $name: $(basename "$last") ($(du -h "$last" | cut -f1))"
 done
