@@ -407,5 +407,12 @@ def dmc_tau_extrapolation(runs, nmad: float = 5.0):
     e0 = (tt * yw - tw * ty) / det
     slope = (W * ty - tw * yw) / det
     e0_err = float(np.sqrt(tt / det))
-    return {"e0": float(e0), "e0_err": e0_err, "slope": float(slope),
+    slope_err = float(np.sqrt(W / det))
+    resid = y - (e0 + slope * t)
+    chi2 = float(np.sum(w * resid ** 2))
+    dof = len(taus) - 2
+    return {"e0": float(e0), "e0_err": e0_err,
+            "slope": float(slope), "slope_err": slope_err,
+            "chi2": chi2, "dof": dof,
+            "chi2_dof": chi2 / dof if dof > 0 else float("nan"),
             "per_tau": per_tau}

@@ -116,3 +116,7 @@ def test_dmc_tau_extrapolation(tmp_path):
     out = analysis_tools.dmc_tau_extrapolation(runs)
     assert abs(out["e0"] - (-5.43)) < 4 * out["e0_err"] + 1e-4
     assert abs(out["slope"] - 0.8) < 0.12
+    assert abs(out["slope"] - 0.8) < 4 * out["slope_err"] + 1e-3
+    # Data generated from the linear model: chi2/dof must be O(1).
+    assert out["dof"] == 1
+    assert out["chi2_dof"] < 10.0
