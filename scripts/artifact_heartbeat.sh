@@ -43,7 +43,7 @@ while [ "$(date +%s)" -lt "$HARD_END" ]; do
   # tree by GBs over a session). History still holds old blobs — that's fine.
   # Numeric sort on the step field (lexicographic misorders past 999,999).
   for d in artifacts/*/; do
-    ls "$d"qmcjax_ckpt_*.npz 2>/dev/null | sort -t_ -k3 -n | head -n -2 | \
+    ls "$d"qmcjax_ckpt_*.npz 2>/dev/null | sort -V | head -n -2 | \
       while read -r f; do
         git rm -q --cached "$f" 2>/dev/null || true
         rm -f "$f"

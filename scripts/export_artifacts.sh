@@ -26,9 +26,11 @@ fi
 for name in "${names[@]}"; do
   dir="runs/$name"
   [ -d "$dir" ] || { echo "skip $name (no dir)"; continue; }
-  # Numeric sort on the step field: lexicographic sort misorders checkpoints
-  # if a run ever exceeds the 6-digit zero padding (ADVICE round-3).
-  last=$(ls "$dir"/qmcjax_ckpt_*.npz 2>/dev/null | sort -t_ -k3 -n | tail -1)
+  # Version sort: orders on the embedded step number wherever it sits in the
+  # path (run names themselves contain underscores, so field-based sort keyed
+  # on a fixed '_' field compared non-numeric keys as equal and fell back to
+  # lexicographic order — ADVICE round-4).
+  last=$(ls "$dir"/qmcjax_ckpt_*.npz 2>/dev/null | sort -V | tail -1)
   if [ -z "$last" ]; then echo "skip $name (no checkpoints)"; continue; fi
   mkdir -p "artifacts/$name"
   cp -f "$last" "artifacts/$name/"

@@ -44,8 +44,8 @@ echo "=== trust gate PASS ===" >> "$Q"
 for run in c_pubform c_noy c_kfac_fstream c_kfac_wide c2_kfac c2_dmc \
            li_excited_full heg_rs1; do
   [ -d "artifacts/$run" ] || continue
-  have=$(ls "runs/$run"/qmcjax_ckpt_*.npz 2>/dev/null | sort -t_ -k3 -n | tail -1)
-  last=$(ls "artifacts/$run"/qmcjax_ckpt_*.npz 2>/dev/null | sort -t_ -k3 -n | tail -1)
+  have=$(ls "runs/$run"/qmcjax_ckpt_*.npz 2>/dev/null | sort -V | tail -1)
+  last=$(ls "artifacts/$run"/qmcjax_ckpt_*.npz 2>/dev/null | sort -V | tail -1)
   [ -n "$last" ] || continue
   if [ -z "$have" ] || [ "$(basename "$last")" \> "$(basename "$have")" ]; then
     mkdir -p "runs/$run" && cp "$last" "runs/$run/" && \
