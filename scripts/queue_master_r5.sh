@@ -72,6 +72,31 @@ timeout 2400 python -m pytest tests/test_forces.py tests/test_configs.py \
   tests/test_pbc_gvector.py tests/test_observables.py -q \
   > runs/pytest_targeted_r5.log 2>&1
 tail -2 runs/pytest_targeted_r5.log >> "$Q"
+# bench.py gained an overrides hook for the flagship MFU profile; smoke the
+# default AND overrides paths on CPU before the driver's end-of-round bench
+# depends on the file (tiny shapes; ~2 min).
+timeout 900 env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python -c "
+import bench
+r, _ = bench.measure(64, 1, 1, laplacian='default')
+print('bench default-path smoke ok', r)
+pb = bench.build_step(64, laplacian='default', overrides={
+    'network.hidden_dims': ((16, 8), (16, 8)),
+    'network.determinants': 2,
+    'network.h_stream': 'ferminet',
+    'optim.optimizer': 'kfac'})
+r2, _ = bench.measure(64, 1, 1, prebuilt=pb)
+print('bench overrides-path smoke ok', r2)
+" > runs/bench_smoke_r5.log 2>&1
+tail -2 runs/bench_smoke_r5.log >> "$Q"
+
+# --- stage A2: MFU at the flagship production shape (VERDICT item 8) ---
+# Runs BEFORE the flagship legs: it is ~20 min against a 4-round-old open
+# item, and stage-C caps would otherwise squeeze it out of the chip budget.
+echo "=== flagship MFU profile start $(date) ===" >> "$Q"
+watched 1300 runs/profile_mfu_flagship.log /tmp/jaxcache \
+  python -u scripts/profile_mfu.py --flagship --batch=2048
+echo "=== flagship MFU profile rc=$? ===" >> "$Q"
+grep -E "MFU|step time|throughput|FLOPs" runs/profile_mfu_flagship.log >> "$Q" || true
 
 # --- stage B: published-form flagship legs with the decision gate ---
 # Chip budget ends early enough to fit the full suite (5700 s + slack);

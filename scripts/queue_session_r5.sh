@@ -1,4 +1,11 @@
 #!/bin/bash
+# SUPERSEDED in-round by scripts/queue_master_r5.sh, which adds the wedge
+# watchdog and actually IMPLEMENTS the stage-3 decision gate this header
+# describes (via scripts/gate_pubform.py; ADVICE r4 flagged the gap — the
+# stage-3 loop below runs pubform unconditionally). Keep this script only as
+# the fresh-box bootstrap (trust gate + artifact restore); prefer the master
+# queue whenever the box already passed the trust gate.
+#
 # Round-5 session bootstrap: chains the chip campaign with wedge-tolerance
 # and per-stage artifact commits. Mirrors queue_session_r4.sh with the
 # round-4 results folded in:
