@@ -167,6 +167,13 @@ if len(runs) >= 2:
     print("TAU-EXTRAP", at.dmc_tau_extrapolation(runs))
 PYEOF
 
+# Flagship-arm reporting at the chip-idle boundary: matched-t gate
+# diagnostics + power-law trajectory fit of whatever pubform accumulated.
+echo "=== pubform trajectory report $(date) ===" >> "$Q"
+python scripts/gate_pubform.py 20 0 > /dev/null 2>> "$Q" || true
+timeout 600 python scripts/analyze_flagship_trajectory.py c_pubform 500 200 \
+  >> "$Q" 2>&1 || true
+
 # --- stage D: full suite (CPU) + expendable bonus chip legs ---
 echo "=== full suite start $(date) ===" >> "$Q"
 timeout 7000 python -m pytest tests/ -q > runs/pytest_full_r5.log 2>&1 &
