@@ -36,6 +36,20 @@ export_commit() {
     git commit -q -m "$2" -- "artifacts/$1" 2>/dev/null || true
 }
 
+# --- stage 0b: HEG continuation if the in-session leg fell short ---
+# (restore is additive: pass the REMAINING iterations; target t=6000 total.)
+heg_t=$(ls runs/heg_rs1/qmcjax_ckpt_*.npz 2>/dev/null | sort -V \
+        | sed 's/.*_0*\([0-9][0-9]*\)\.npz/\1/' | tail -1)
+if [ "${heg_t:-0}" -lt 5500 ] && [ "$(left)" -ge 5500 ]; then
+  want=$(( 6000 - ${heg_t:-0} ))
+  echo "=== post heg continuation (+$want iters) start $(date) ===" >> "$Q"
+  watched 5000 runs/heg_rs1_post.log runs/heg_rs1 \
+    python -u scripts/run_heg.py "$want" /root/repo/runs/heg_rs1 1.0 forward 2048
+  echo "=== post heg continuation done rc=$? $(date) ===" >> "$Q"
+  grep -E "FINAL|correlation" runs/heg_rs1_post.log >> "$Q" || true
+  export_commit heg_rs1 "HEG rs=1 continuation artifacts (r5 post-session)"
+fi
+
 # --- stage 1: two more flagship legs (gate-aware) ---
 ARM=c_pubform; ARM_ARGS="off isotropic"
 for leg in 1 2; do
