@@ -129,6 +129,11 @@ def default() -> ml_collections.ConfigDict:
                                     # expansion, ref PBC/nnPBC.py:104)
         "pbc_gmax": 1,              # gvector variant: images per axis in
                                     # [-g_max, g_max]^ndim
+        "pbc_gvector_smooth": True,  # gvector variant: C^inf periodic base
+                                    # displacement (continuous across the
+                                    # half-cell boundary); False = minimum-
+                                    # image wrap (exact geometry, log|psi|
+                                    # discontinuous at +-1/2 — ablation only)
         "jastrow_ae": None,         # None = auto: a-e cusp Jastrow only for
                                     # all-electron systems (wrong at ECP cores)
         "jastrow_ee": "pade",       # pade (ref AIQMC, per-pair alpha) |

@@ -60,6 +60,7 @@ _NETWORK_FIELD_MAP = {
     "pbc_smooth_r": "pbc_smooth_r",
     "pbc_features": "pbc_features",
     "pbc_gmax": "pbc_gmax",
+    "pbc_gvector_smooth": "pbc_gvector_smooth",
     "jastrow_ae": "jastrow_ae",
     "jastrow_ee": "jastrow_ee",
     "jastrow_scale": "jastrow_scale",

@@ -134,6 +134,14 @@ def make_ai_net_layers(nspins: Tuple[int, int],
     behind published C ccECP VMC -5.4254.
     """
     nchannels = len([n for n in nspins if n > 0])
+    if y_stream and len(hidden_dims_Ynlm) != len(hidden_dims):
+        # init zips the two streams layer-by-layer while apply iterates each
+        # by its own length — unequal depths used to surface as an opaque
+        # IndexError at apply time (round-5 bench smoke).
+        raise ValueError(
+            f"hidden_dims ({len(hidden_dims)} layers) and hidden_dims_Ynlm "
+            f"({len(hidden_dims_Ynlm)} layers) must have the same depth when "
+            "the Y_nlm stream is enabled; set y_stream=False or match them.")
 
     def nfeatures(out1, out2):
         return (nchannels + 1) * out1 + nchannels * out2
@@ -530,6 +538,7 @@ def make_ai_net(nspins: Tuple[int, int],
                 pbc_smooth_r: bool = False,
                 pbc_features: str = "sincos",
                 pbc_gmax: int = 1,
+                pbc_gvector_smooth: bool = True,
                 y_stream: bool = True,
                 feature_layer: Optional[FeatureLayer] = None,
                 envelope=None) -> Network:
@@ -559,7 +568,8 @@ def make_ai_net(nspins: Tuple[int, int],
                 from aiqmc_tpu.pbc.features import make_gvector_feature_layer
                 feature_layer = make_gvector_feature_layer(
                     natoms, ndim=ndim, rescale_inputs=rescale_inputs,
-                    lattice=lattice, g_max=pbc_gmax)
+                    lattice=lattice, g_max=pbc_gmax,
+                    smooth=pbc_gvector_smooth)
             elif pbc_features == "sincos":
                 from aiqmc_tpu.pbc.features import make_pbc_feature_layer
                 feature_layer = make_pbc_feature_layer(

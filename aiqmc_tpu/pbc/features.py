@@ -80,10 +80,22 @@ class GvectorFeatureLayer(FeatureLayer):
     above. Two deliberate departures from the reference, both documented
     behaviour fixes rather than omissions:
 
-    * displacements are wrapped to the fundamental cell (fractional parts in
-      [-1/2, 1/2)) BEFORE the image expansion, which makes the features
-      exactly invariant under lattice translations of any particle — the
-      reference's unwrapped stack loses invariance at the grid boundary;
+    * displacements are mapped into the fundamental cell BEFORE the image
+      expansion, which makes the features exactly invariant under lattice
+      translations of any particle — the reference's unwrapped stack loses
+      invariance at the grid boundary. Two maps are offered:
+      ``smooth=True`` (default) uses the C-inf periodic surrogate
+      ``sin(2 pi s) @ L / (2 pi)`` (the same map as the network's
+      ``pbc_smooth_r``), so every per-image feature is BOTH periodic and
+      continuous everywhere — in particular across the half-cell boundary;
+      ``smooth=False`` uses the minimum-image wrap (fractional parts in
+      [-1/2, 1/2)), which keeps the exact Euclidean image geometry but is
+      DISCONTINUOUS when a fractional coordinate crosses +-1/2 (the wrapped
+      vector jumps by a lattice vector and per-slot features permute/change
+      — log|psi| is then discontinuous at the boundary; biased E_L there).
+      The minimum-image variant is retained only as the reference-geometry
+      ablation; production periodic runs should keep ``smooth=True`` or use
+      the sin/cos layer above;
     * the image grid is the full symmetric ``[-g_max, g_max]^ndim`` cube
       (the reference hard-codes an asymmetric 2-D ``mgrid[-g:g, -g:g, 0:1]``
       slice, a WIP artefact of its 2-D Ewald experiments).
@@ -94,8 +106,10 @@ class GvectorFeatureLayer(FeatureLayer):
     """
 
     def __init__(self, natoms: int, ndim: int = 3, rescale_inputs: bool = False,
-                 lattice: Optional[jnp.ndarray] = None, g_max: int = 1):
+                 lattice: Optional[jnp.ndarray] = None, g_max: int = 1,
+                 smooth: bool = True):
         super().__init__(natoms, ndim, rescale_inputs)
+        self._smooth = smooth
         self._lattice = jnp.eye(ndim) if lattice is None else jnp.asarray(lattice)
         self._inv_lattice = jnp.linalg.inv(self._lattice)
         grid = np.stack(np.meshgrid(
@@ -113,8 +127,17 @@ class GvectorFeatureLayer(FeatureLayer):
     def _expand(self, disp: jnp.ndarray, mask_diag: bool) -> jnp.ndarray:
         """(…, ndim) displacements -> (…, n_images*(ndim+1)) image features."""
         frac = disp @ self._inv_lattice
-        wrapped = (frac - jnp.round(frac)) @ self._lattice
-        imgs = wrapped[..., None, :] + self._gvectors  # (..., n_images, ndim)
+        if self._smooth:
+            # C-inf periodic surrogate: periodic by construction (every slot
+            # feature is a smooth periodic function of the fractional
+            # coordinate), matches the Euclidean displacement to O(r^3) at
+            # coincidence so the e-e/e-a cusp inputs are preserved.
+            base = jnp.sin(2 * jnp.pi * frac) @ self._lattice / (2 * jnp.pi)
+        else:
+            # Minimum-image wrap: exact image geometry, discontinuous at the
+            # half-cell boundary (see class docstring).
+            base = (frac - jnp.round(frac)) @ self._lattice
+        imgs = base[..., None, :] + self._gvectors  # (..., n_images, ndim)
         if mask_diag:
             # Gradient-safe zero diagonal (same convention as the molecular
             # r_ee, ref nn.py:114-115): offset the norm argument so the
@@ -143,5 +166,7 @@ class GvectorFeatureLayer(FeatureLayer):
 def make_gvector_feature_layer(natoms: int, ndim: int = 3,
                                rescale_inputs: bool = False,
                                lattice: Optional[jnp.ndarray] = None,
-                               g_max: int = 1) -> GvectorFeatureLayer:
-    return GvectorFeatureLayer(natoms, ndim, rescale_inputs, lattice, g_max)
+                               g_max: int = 1,
+                               smooth: bool = True) -> GvectorFeatureLayer:
+    return GvectorFeatureLayer(natoms, ndim, rescale_inputs, lattice, g_max,
+                               smooth)

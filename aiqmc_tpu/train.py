@@ -206,6 +206,7 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         pbc_smooth_r=cfg.network.get("pbc_smooth_r", False),
         pbc_features=cfg.network.get("pbc_features", "sincos"),
         pbc_gmax=cfg.network.get("pbc_gmax", 1),
+        pbc_gvector_smooth=cfg.network.get("pbc_gvector_smooth", True),
         # The Pade a-e cusp is exact for bare Coulomb nuclei but wrong for
         # ECP cores (smooth psi there); default: on iff all-electron.
         jastrow_ae=(cfg.network.get("jastrow_ae", None)

@@ -193,6 +193,24 @@ def excited_state_summary(path: str, states: int,
         mat = np.array([[col_mean(f"energy_mat_{i}{j}")
                          for j in range(states)] for i in range(states)])
         w, v = np.linalg.eig(mat)
+        # The mean energy matrix is noisy and non-symmetric, so quasi-
+        # degenerate states can produce a complex-conjugate eigenpair; taking
+        # .real of everything downstream would then silently discard
+        # imaginary parts of uncontrolled size (ADVICE round-4). Detect and
+        # surface it: report the relative imaginary magnitude and warn so a
+        # degenerate-noise artefact is not read as a physical strength.
+        imag_rel = float(np.max(np.abs(w.imag)) /
+                         max(np.max(np.abs(w.real)), 1e-300))
+        if imag_rel > 1e-8:
+            out["energy_eig_imag_rel"] = imag_rel
+        if imag_rel > 1e-3:
+            import warnings
+            warnings.warn(
+                "excited_state_summary: energy-matrix eigenvalues have "
+                f"relative imaginary magnitude {imag_rel:.2e} (noisy quasi-"
+                "degenerate block); eigenbasis-transformed dipole strengths "
+                "for the affected block are unreliable — trust only the "
+                "block-summed multiplet strengths.")
         order = np.argsort(w.real)
         out["energies_eig"] = w.real[order].tolist()
         eigvecs = v[:, order]

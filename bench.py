@@ -87,7 +87,15 @@ def pick_laplacian():
     return "forward" if ok else "default"
 
 
-def build_step(batch, laplacian="forward"):
+def build_step(batch, laplacian="forward", overrides=None):
+    """Builds the jitted combined training step on the C ccECP system.
+
+    Default shape is the tiny cross-round bench net (held fixed since round
+    1 so the BENCH_r* series stays comparable). ``overrides`` — a dict of
+    cfg-path -> value entries like {"network.hidden_dims": ..., "optim.
+    optimizer": "kfac"} — lets profile_mfu.py time the FLAGSHIP production
+    shape with the same harness (VERDICT round-4 item 8: MFU had only ever
+    been measured on the tiny net)."""
     import jax
     import jax.numpy as jnp
     from aiqmc_tpu import config as config_lib
@@ -103,6 +111,12 @@ def build_step(batch, laplacian="forward"):
         cfg.network.hidden_dims = ((32, 16), (32, 16), (32, 16))
         cfg.network.hidden_dims_ynlm = (8, 8, 8)
         cfg.optim.laplacian = laplacian
+        for path, value in (overrides or {}).items():
+            node = cfg
+            *parents, leaf = path.split(".")
+            for p in parents:
+                node = getattr(node, p)
+            setattr(node, leaf, value)
         # 12-pt icosahedral nonlocal quadrature: identical estimator mean and
         # per-sample variance to the 50-pt rule on a trained network (random
         # per-step rotations make any rule unbiased; measured <V_nl>

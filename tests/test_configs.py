@@ -129,5 +129,8 @@ def test_observables_in_driver(tmp_path):
     assert np.isfinite(r.energies).all()
     import csv
     rows = list(csv.DictReader(open(f"{tmp_path}/train_states.csv")))
-    assert "s2" in rows[0] and "dipole" in rows[0]
+    # Ground-state observables land as 's2' and per-component dipole columns
+    # (train.py writes dipole_{x,y,z}; state-matrix runs write dipole_d_ij).
+    assert "s2" in rows[0]
+    assert all(f"dipole_{d}" in rows[0] for d in "xyz")
     assert np.isfinite(float(rows[0]["s2"]))

@@ -44,7 +44,7 @@ def test_force_exact_hydrogen_is_zero_variance():
     np.testing.assert_allclose(np.asarray(fs), 0.0, atol=5e-4)
 
 
-def _h2_net(bond=1.4):
+def _h2_net(bond=1.4, nwalkers=12):
     nel = 2
     spins = np.array([1.0, -1.0])
     atoms = jnp.asarray([[0.0, 0.0, -bond / 2], [0.0, 0.0, bond / 2]])
@@ -59,7 +59,7 @@ def _h2_net(bond=1.4):
         hidden_dims=((16, 4), (16, 4)), hidden_dims_Ynlm=(6, 6),
         determinants=2)
     params = net.init(jax.random.PRNGKey(3))
-    pos = 0.8 * jax.random.normal(jax.random.PRNGKey(4), (12, nel * 3))
+    pos = 0.8 * jax.random.normal(jax.random.PRNGKey(4), (nwalkers, nel * 3))
     data = AINetData(positions=pos, spins=jnp.asarray(spins), atoms=atoms,
                      charges=charges)
     e_l = le_lib.local_energy(net.apply, charges, (1, 1),
@@ -139,10 +139,14 @@ def test_force_walker_weights():
 
 def test_evaluate_forces_sharded_matches_single_device():
     """vmc_eval.evaluate_forces (GSPMD over the 8-virtual-device mesh) equals
-    the plain single-device estimator on the same keys."""
+    the plain single-device estimator on the same keys.
+
+    Uses a device-multiple population (16 walkers on the 8-virtual-device
+    mesh) so the eval trim policy (below) does not change the sample set.
+    """
     from aiqmc_tpu import vmc_eval
 
-    net, params, data, e_l = _h2_net()
+    net, params, data, e_l = _h2_net(nwalkers=16)
     key = jax.random.PRNGKey(10)
 
     force = forces.make_force(net.apply, e_l)
@@ -151,5 +155,32 @@ def test_evaluate_forces_sharded_matches_single_device():
     f_mesh, sem, samples = vmc_eval.evaluate_forces(
         net.apply, e_l, params, key, data)
     assert samples.shape == (data.positions.shape[0], 2, 3)
+    np.testing.assert_allclose(np.asarray(f_mesh), np.asarray(f_single),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_evaluate_forces_trims_to_device_multiple():
+    """Eval trim policy (one policy, stated): TRAINING raises on populations
+    that do not divide the mesh (parallel/mesh.py walker_mesh); EVAL trims to
+    the largest device multiple — walkers are iid so the drop is statistically
+    free — and surfaces the kept count through the returned samples array.
+    12 walkers on 8 virtual devices -> 8 kept; the result must equal the
+    single-device estimator run on exactly those 8 walkers."""
+    from aiqmc_tpu import vmc_eval
+    from aiqmc_tpu.models.network import AINetData as Data
+
+    net, params, data, e_l = _h2_net(nwalkers=12)
+    key = jax.random.PRNGKey(11)
+
+    f_mesh, _, samples = vmc_eval.evaluate_forces(
+        net.apply, e_l, params, key, data)
+    ndev = jax.device_count()
+    kept = (data.positions.shape[0] // ndev) * ndev
+    assert samples.shape == (kept, 2, 3)
+
+    trimmed = Data(positions=data.positions[:kept], spins=data.spins,
+                   atoms=data.atoms, charges=data.charges)
+    force = forces.make_force(net.apply, e_l)
+    f_single, _, _ = force(params, key, trimmed)
     np.testing.assert_allclose(np.asarray(f_mesh), np.asarray(f_single),
                                rtol=2e-4, atol=2e-5)

@@ -56,6 +56,49 @@ def test_gvector_features_invariant_under_lattice_translation():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_gvector_features_continuous_at_half_cell_boundary():
+    """smooth=True (default): per-slot features are continuous when a
+    fractional coordinate crosses +-1/2 — the minimum-image wrap jumps by a
+    lattice vector there (ADVICE r4 medium). Straddle the boundary with an
+    epsilon pair and compare; also confirm the ablation (smooth=False) really
+    is discontinuous so the test discriminates."""
+    natoms = 1
+    atoms = jnp.zeros((natoms, 3))
+    eps = 1e-6
+    # Electron crossing x = L_x/2 = 1.5 (fractional +1/2 boundary).
+    below = jnp.asarray([[1.5 - eps, 0.7, 0.9], [0.2, 0.3, 0.4]])
+    above = jnp.asarray([[1.5 + eps, 0.7, 0.9], [0.2, 0.3, 0.4]])
+
+    smooth = features.make_gvector_feature_layer(natoms, lattice=LATTICE,
+                                                 g_max=1, smooth=True)
+    f_lo = _feats(smooth, below, atoms)
+    f_hi = _feats(smooth, above, atoms)
+    for a, b in zip(f_lo, f_hi):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    wrap = features.make_gvector_feature_layer(natoms, lattice=LATTICE,
+                                               g_max=1, smooth=False)
+    g_lo = _feats(wrap, below, atoms)[0]
+    g_hi = _feats(wrap, above, atoms)[0]
+    assert np.max(np.abs(np.asarray(g_lo) - np.asarray(g_hi))) > 0.1
+
+
+def test_gvector_smooth_features_invariant_under_lattice_translation():
+    """The smooth map keeps exact lattice-translation invariance (it is
+    periodic by construction, not by wrapping)."""
+    natoms, nelec = 2, 3
+    layer = features.make_gvector_feature_layer(natoms, lattice=LATTICE,
+                                                g_max=1, smooth=True)
+    rng = np.random.RandomState(7)
+    pos = jnp.asarray(rng.uniform(0, 3, (nelec, 3)))
+    atoms = jnp.asarray(rng.uniform(0, 3, (natoms, 3)))
+    f1 = _feats(layer, pos, atoms)
+    pos2 = pos.at[0].add(2 * jnp.asarray(LATTICE)[1] - jnp.asarray(LATTICE)[0])
+    f2 = _feats(layer, pos2, atoms)
+    for a, b in zip(f1, f2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_gvector_rescaled_features_finite_gradient():
     layer = features.make_gvector_feature_layer(
         1, lattice=LATTICE, g_max=1, rescale_inputs=True)
