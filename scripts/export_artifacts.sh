@@ -31,9 +31,14 @@ for name in "${names[@]}"; do
   # on a fixed '_' field compared non-numeric keys as equal and fell back to
   # lexicographic order — ADVICE round-4).
   last=$(ls "$dir"/qmcjax_ckpt_*.npz 2>/dev/null | sort -V | tail -1)
-  if [ -z "$last" ]; then echo "skip $name (no checkpoints)"; continue; fi
+  # Eval-only runs (e.g. forces, save_frequency=1e9) write traces but no
+  # checkpoints — export the CSVs regardless instead of skipping the run.
   mkdir -p "artifacts/$name"
-  cp -f "$last" "artifacts/$name/"
+  if [ -z "$last" ]; then
+    echo "note: $name has no checkpoints (csv-only export)"
+  else
+    cp -f "$last" "artifacts/$name/"
+  fi
   # train.py REWRITES train_states.csv on restore-and-continue, so suffix the
   # export with the leg's starting step — successive exports of successive
   # legs then accumulate instead of clobbering the earlier trace (the bare
@@ -90,6 +95,7 @@ for name in "${names[@]}"; do
     fi
     mv -f "$tmp" "$dest"
   fi
-  echo "exported $name: $(basename "$last") ($(du -h "$last" | cut -f1))"
+  [ -n "$last" ] && \
+    echo "exported $name: $(basename "$last") ($(du -h "$last" | cut -f1))"
 done
 du -sh artifacts 2>/dev/null

@@ -15,11 +15,22 @@ watched() {
   mkdir -p "$wdir"
   timeout -k 30 "$tmo" "$@" > "$log" 2>&1 &
   local pid=$!
+  local t0
+  t0=$(date +%s)
   while kill -0 "$pid" 2>/dev/null; do
     sleep "${WATCH_POLL_S:-30}"
+    # Fresh-box lesson (r5): a cold leg can sit inside ONE remote XLA
+    # compile for >STALL_S with no file activity anywhere — mtime silence
+    # in that phase is not the wedge signature. Two guards: a no-kill grace
+    # window covering the first compile, and the compilation cache counted
+    # as progress (each completed sub-program writes an entry).
+    if [ $(( $(date +%s) - t0 )) -lt "${COLD_GRACE_S:-2400}" ]; then
+      continue
+    fi
     local fresh
-    fresh=$(find "$wdir" "$log" -newermt "-${STALL_S} seconds" -print -quit \
-            2>/dev/null)
+    fresh=$(find "$wdir" "$log" \
+            "${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}" \
+            -newermt "-${STALL_S} seconds" -print -quit 2>/dev/null)
     if [ -z "$fresh" ]; then
       echo "=== WEDGE: no mtime progress in ${STALL_S}s — killing leg pid=$pid $(date) ===" >> "$Q"
       local kids
