@@ -134,6 +134,13 @@ def default() -> ml_collections.ConfigDict:
                                     # half-cell boundary); False = minimum-
                                     # image wrap (exact geometry, log|psi|
                                     # discontinuous at +-1/2 — ablation only)
+        "pbc_include_r_ae": True,   # sincos variant: include the periodic
+                                    # e-a distance feature. Set False for
+                                    # ghost-atom systems (HEG): an origin-
+                                    # pinned distance on a chargeless anchor
+                                    # is spurious structure the gas must
+                                    # unlearn (ref ferminet/pbc/
+                                    # feature_layer.py include_r_ae)
         "jastrow_ae": None,         # None = auto: a-e cusp Jastrow only for
                                     # all-electron systems (wrong at ECP cores)
         "jastrow_ee": "pade",       # pade (ref AIQMC, per-pair alpha) |

@@ -31,5 +31,14 @@ def get_config(rs: float = 1.0, nelec: int = 14):
         cfg.system.pbc = True
         cfg.system.ewald = {"truncation_limit": 5, "heg": True}
         cfg.network.envelope_type = "multiwave"
+        # The gas is homogeneous: strip every origin-anchored structure the
+        # molecular ansatz pins to the ghost atom (ref ferminet/configs/
+        # heg.py sets include_r_ae=False; upstream FermiNet has no Y factor
+        # and no a-e Jastrow). With them on, the network first has to
+        # UNLEARN an artificial well at the anchor — the round-5 flatline
+        # (~5 Ha above the HF anchor after 2.4k iterations, BASELINE.md).
+        cfg.network.pbc_include_r_ae = False
+        cfg.network.y_stream = False
+        cfg.network.jastrow_ae = False
         cfg.mcmc.init_width = 0.1
     return cfg

@@ -395,6 +395,7 @@ def make_orbitals(nspins: Tuple[int, int],
     def apply(params, pos, spins, atoms, charges_in) -> Sequence[jnp.ndarray]:
         del spins, charges_in  # static bookkeeping is baked in at build time
         ae, ee, r_ae, r_ee = construct_input_features(pos, atoms, ndim=ndim)
+        ae_raw = ae
         if lattice is not None:
             # Periodic ansatz: all displacement-derived quantities (harmonics,
             # envelope, Jastrows) use lattice-periodic displacements so
@@ -470,8 +471,18 @@ def make_orbitals(nspins: Tuple[int, int],
                 (1, 0, 2))
 
         # Envelope (ref nn.py:479-485; envelope.py:26-30), vectorised.
+        # Bloch (multiwave) envelopes are exactly lattice-periodic functions
+        # of the RAW displacement (ref ferminet/networks.py feeds unmapped ae
+        # to envelope.apply; ref ferminet/pbc/envelopes.py:67-75): feeding
+        # them the smooth-mapped displacement L sin(2 pi s)/(2 pi) turns
+        # cos(k.ae) into cos(|k| L sin(.)/(2 pi)) — for the first shell a
+        # function that never changes sign — so the envelope could not
+        # represent Bloch structure at all. Molecular envelopes keep the
+        # periodic map (they consume r_ae, which must be the periodic norm).
         r_ae_sorted = r_ae[row_perm]
-        ae_sorted = ae[row_perm]
+        env_ae = (ae_raw if envelope is None and envelope_type == "multiwave"
+                  else ae)
+        ae_sorted = env_ae[row_perm]
         env = envelope_apply(r_ae_sorted, ae_sorted, params["envelope"])
         if env.ndim == 1:  # per-electron scalars -> scale rows of every det
             orbitals = orbitals * env[None, :, None]
@@ -539,6 +550,7 @@ def make_ai_net(nspins: Tuple[int, int],
                 pbc_features: str = "sincos",
                 pbc_gmax: int = 1,
                 pbc_gvector_smooth: bool = True,
+                pbc_include_r_ae: bool = True,
                 y_stream: bool = True,
                 feature_layer: Optional[FeatureLayer] = None,
                 envelope=None) -> Network:
@@ -574,7 +586,7 @@ def make_ai_net(nspins: Tuple[int, int],
                 from aiqmc_tpu.pbc.features import make_pbc_feature_layer
                 feature_layer = make_pbc_feature_layer(
                     natoms, ndim=ndim, rescale_inputs=rescale_inputs,
-                    lattice=lattice)
+                    lattice=lattice, include_r_ae=pbc_include_r_ae)
             else:
                 raise ValueError(
                     f"Unknown pbc_features {pbc_features!r} "

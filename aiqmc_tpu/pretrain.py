@@ -98,6 +98,97 @@ def make_hydrogenic_orbitals(atoms: np.ndarray, charges: np.ndarray,
     return targets
 
 
+def make_planewave_targets(lattice: np.ndarray,
+                           nspins: Tuple[int, int]) -> TargetOrbitals:
+    """Gamma-point plane-wave closed-shell targets for jellium/PBC systems.
+
+    The Hartree-Fock (and non-interacting) ground state of the homogeneous
+    electron gas at Gamma occupies the lowest |k| shells of the reciprocal
+    lattice; a real representation of that occupied space is {1} plus
+    {cos(k.r), sin(k.r)} over one representative per +-k pair in |k| order.
+    The reference ships no pretraining for its HEG config
+    (ref ferminet/configs/heg.py; ref ferminet/pretrain.py:119-211 is
+    molecular pyscf-SCF only) — without it the multiwave-envelope ansatz
+    starts at a random determinant ~7 Ha above HF and KFAC descends at
+    ~0.2 mHa/iter (round-5 measurement, BASELINE.md HEG row); with it the
+    t=0 energy starts at the HF-anchor scale.
+
+    Args:
+      lattice: (3, 3) primitive cell, ROWS are lattice vectors.
+      nspins: electrons per spin channel. Each non-empty channel must be
+        odd (1 + whole +-k pairs) so the real pairing is exact; a count
+        that additionally cuts a degenerate |k| shell is allowed (the
+        representative choice is basis-arbitrary) but logged.
+    """
+    from absl import logging
+
+    lattice = np.asarray(lattice, dtype=np.float64)
+    rec = 2.0 * np.pi * np.linalg.inv(lattice).T  # rows are b_i
+    span = 4
+    rng = range(-span, span + 1)
+    grid = np.array([(i, j, k) for i in rng for j in rng for k in rng])
+    ks = grid @ rec
+    k2 = np.einsum("ij,ij->i", ks, ks)
+    order = np.argsort(k2, kind="stable")
+    reps, rep_k2, seen = [], [], set()
+    for idx in order:
+        g = tuple(int(v) for v in grid[idx])
+        if g == (0, 0, 0) or g in seen:
+            continue
+        seen.add(g)
+        seen.add(tuple(-v for v in g))
+        # Canonical +-pair representative: first nonzero integer component
+        # positive (a sign flip only negates the sin column — same span —
+        # but the canonical choice keeps targets deterministic).
+        sign = 1.0
+        for v in g:
+            if v != 0:
+                sign = 1.0 if v > 0 else -1.0
+                break
+        reps.append(sign * ks[idx])
+        rep_k2.append(k2[idx])
+    max_n = 1 + 2 * len(reps)
+
+    def channel_fns(n: int):
+        if n == 0:
+            return []
+        if n % 2 == 0:
+            raise ValueError(
+                f"planewave pretraining needs an odd per-spin count "
+                f"(1 + whole +-k pairs); got {n}")
+        npairs = (n - 1) // 2
+        if npairs > len(reps):
+            raise ValueError(f"plane-wave table too small for {n} electrons "
+                             f"(max {max_n}); enlarge span")
+        if npairs and npairs < len(reps) and \
+                abs(rep_k2[npairs - 1] - rep_k2[npairs]) < 1e-9:
+            logging.info(
+                "planewave pretraining: %d pairs cut a degenerate |k| "
+                "shell; the representative choice is basis-arbitrary",
+                npairs)
+        fns = [lambda rv: jnp.ones(rv.shape[:-1])]
+        for kvec in reps[:npairs]:
+            kj = jnp.asarray(kvec)
+            fns.append(lambda rv, kj=kj: jnp.cos(rv @ kj))
+            fns.append(lambda rv, kj=kj: jnp.sin(rv @ kj))
+        return fns
+
+    fns_up = channel_fns(nspins[0])
+    fns_dn = channel_fns(nspins[1])
+
+    def targets(pos: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """pos: (nelec * 3,) -> (phi_up (n_up, n_up), phi_down (n_dn, n_dn))."""
+        x = jnp.reshape(pos, (-1, 3))
+        xu, xd = x[:nspins[0]], x[nspins[0]:]
+        mats = []
+        for fns, xs in ((fns_up, xu), (fns_dn, xd)):
+            mats.append(jnp.stack([fn(xs) for fn in fns], axis=-1) if fns
+                        else jnp.zeros((0, 0)))
+        return mats[0], mats[1]
+
+    return targets
+
+
 def make_pretrain_step(network_orbitals,
                        batch_network,
                        target_fn: TargetOrbitals,
@@ -251,12 +342,14 @@ def pretrain_orbitals(network,
                       params=None,
                       pp_cfg=None,
                       basis=None,
-                      states: int = 0):
+                      states: int = 0,
+                      lattice=None):
     """Pretrains network orbitals (ref pretrain.py:230-311). Returns
     (params, data). target: 'rhf' (default), 'uhf' (open-shell per-spin
-    orbitals) or 'hydrogenic'; ``basis`` selects the SCF basis (None =
-    STO-3G/even-tempered, or an nwchem file path for cc-pVDZ-class targets).
-    With pp_cfg set, 'rhf' targets come from the valence ECP-RHF.
+    orbitals), 'hydrogenic', or 'planewave' (Gamma closed shell for
+    jellium/PBC; requires ``lattice``); ``basis`` selects the SCF basis
+    (None = STO-3G/even-tempered, or an nwchem file path for cc-pVDZ-class
+    targets). With pp_cfg set, 'rhf' targets come from the valence ECP-RHF.
 
     states > 0: NES-VMC excited-state pretraining of the SHARED-parameter
     network (determinants = states * ndets): each determinant group targets
@@ -271,6 +364,11 @@ def pretrain_orbitals(network,
         return _pretrain_orbitals_states(
             network, data, nspins, states, iterations, learning_rate,
             target, key, params, pp_cfg, basis)
+    if target_fn is None and target == "planewave":
+        if lattice is None:
+            raise ValueError("planewave pretraining requires the primitive "
+                             "cell (set cfg.system.pbc with system.structure)")
+        target_fn = make_planewave_targets(np.asarray(lattice), nspins)
     if target_fn is None:
         if target in ("rhf", "uhf"):
             try:

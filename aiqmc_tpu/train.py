@@ -207,6 +207,7 @@ def _build_network(cfg: ml_collections.ConfigDict) -> Tuple[nn.Network, tuple]:
         pbc_features=cfg.network.get("pbc_features", "sincos"),
         pbc_gmax=cfg.network.get("pbc_gmax", 1),
         pbc_gvector_smooth=cfg.network.get("pbc_gvector_smooth", True),
+        pbc_include_r_ae=cfg.network.get("pbc_include_r_ae", True),
         # The Pade a-e cusp is exact for bare Coulomb nuclei but wrong for
         # ECP cores (smooth psi there); default: on iff all-electron.
         jastrow_ae=(cfg.network.get("jastrow_ae", None)
@@ -792,7 +793,9 @@ def train(cfg: ml_collections.ConfigDict,
             target=cfg.pretrain.target, key=subkey, params=params,
             pp_cfg=cfg.system.pp if cfg.system.use_pp else None,
             basis=cfg.pretrain.get("basis", None) or None,
-            states=cfg.system.get("states", 0))
+            states=cfg.system.get("states", 0),
+            lattice=(np.asarray(cfg.system.structure)
+                     if cfg.system.get("pbc", False) else None))
         if info.num_hosts > 1:
             # Each host pretrained against its own local walkers; take host
             # 0's params so every process starts training identically

@@ -28,7 +28,9 @@ export_commit() {
 }
 
 # --- stage 1: HEG rs=1 fresh start with plane-wave pretraining ---
-if [ "$(left)" -ge 3000 ]; then
+# HEG_ITERS=0 skips this stage (pubform-only mode: the HEG fix is validated
+# on CPU while pubform holds the chip; a separate part-C queue then runs HEG).
+if [ "$HEG_ITERS" -gt 0 ] && [ "$(left)" -ge 3000 ]; then
   tmo=7200; [ "$tmo" -gt "$(( $(left) - 600 ))" ] && tmo=$(( $(left) - 600 ))
   echo "=== heg fresh (pretrained, $HEG_ITERS iters) start tmo=${tmo}s $(date) ===" >> "$Q"
   watched "$tmo" runs/heg_rs1b.log runs/heg_rs1b \

@@ -15,7 +15,12 @@ with xi the Ewald Madelung constant of the cell (Fraser et al., PRB 53, 1814
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
        PYTHONPATH=/root/repo:/root/.axon_site python -u \
-       scripts/run_heg.py [iterations] [save_path] [rs] [laplacian] [batch]
+       scripts/run_heg.py [iterations] [save_path] [rs] [laplacian] [batch] \
+           [pretrain_iters]
+
+pretrain_iters (default 500): Gamma plane-wave closed-shell pretraining
+(aiqmc_tpu/pretrain.py make_planewave_targets); only applies to fresh
+starts — restores skip pretraining.
 
 laplacian: default | forward — pass "forward" only while
 scripts/probe_forward_real.py passes on the current chip toolchain.
@@ -32,6 +37,7 @@ save_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/runs/heg_rs1"
 rs = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
 laplacian = sys.argv[4] if len(sys.argv) > 4 else "forward"
 batch = int(sys.argv[5]) if len(sys.argv) > 5 else 2048
+pretrain_iters = int(sys.argv[6]) if len(sys.argv) > 6 else 500
 
 NELEC = 14
 cfg = heg.get_config(rs=rs, nelec=NELEC)
@@ -53,6 +59,11 @@ with cfg.unlocked():
     cfg.mcmc.steps = 10
     cfg.mcmc.burn_in = 300
     cfg.mcmc.init_width = cell_l  # spread walkers over the whole cell
+    # Gamma closed-shell plane-wave pretraining (skipped automatically on
+    # restore): without it the ansatz starts ~7 Ha above the HF anchor and
+    # KFAC descends at ~0.2 mHa/iter (round-5 flatline, BASELINE.md).
+    cfg.pretrain.iterations = pretrain_iters
+    cfg.pretrain.target = "planewave"
     cfg.observables.structure_factor = True
     cfg.observables.structure_factor_nmax = 3
     cfg.log.save_path = save_path
