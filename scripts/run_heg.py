@@ -64,6 +64,10 @@ with cfg.unlocked():
     # KFAC descends at ~0.2 mHa/iter (round-5 flatline, BASELINE.md).
     cfg.pretrain.iterations = pretrain_iters
     cfg.pretrain.target = "planewave"
+    # Adam at the molecular default (3e-4) underfits the closed shell in a
+    # session-scale budget; 1e-3 measured to cut the orbital MSE ~20x by
+    # 600 iterations (round-5 CPU validation).
+    cfg.pretrain.learning_rate = 1e-3
     cfg.observables.structure_factor = True
     cfg.observables.structure_factor_nmax = 3
     cfg.log.save_path = save_path
