@@ -103,17 +103,19 @@ if [ "$(left)" -ge 4000 ]; then
   export_commit c2_dmc_r6 "C2 DMC from extended trial (r6)"
 fi
 
-# --- stage 6: HEG to t=6000 if short ---
-heg_t=$(ls runs/heg_rs1/qmcjax_ckpt_*.npz 2>/dev/null | sort -V \
+# --- stage 6: HEG on the CORRECTED recipe (round-5 root cause, commit
+# 9b73742: homogeneous-gas config + plane-wave pretraining; the old
+# runs/heg_rs1 flatline is origin-pinned — do NOT continue it) ---
+heg_t=$(ls runs/heg_rs1b/qmcjax_ckpt_*.npz 2>/dev/null | sort -V \
         | sed 's/.*_0*\([0-9][0-9]*\)\.npz/\1/' | tail -1)
 if [ "${heg_t:-0}" -lt 5500 ] && [ "$(left)" -ge 3000 ]; then
   want=$(( 6000 - ${heg_t:-0} )); tmo=5000; [ "$tmo" -gt "$(left)" ] && tmo=$(left)
-  echo "=== heg continuation (+$want) start tmo=${tmo}s $(date) ===" >> "$Q"
-  watched "$tmo" runs/heg_rs1_r6.log runs/heg_rs1 \
-    python -u scripts/run_heg.py "$want" /root/repo/runs/heg_rs1 1.0 forward 2048
+  echo "=== heg corrected-recipe (+$want) start tmo=${tmo}s $(date) ===" >> "$Q"
+  watched "$tmo" runs/heg_rs1b_r6.log runs/heg_rs1b \
+    python -u scripts/run_heg.py "$want" /root/repo/runs/heg_rs1b 1.0 forward 2048 2000
   echo "=== heg done rc=$? $(date) ===" >> "$Q"
-  grep -E "FINAL|correlation" runs/heg_rs1_r6.log >> "$Q" || true
-  export_commit heg_rs1 "HEG rs=1 continuation artifacts (r6)"
+  grep -E "HF anchor|FINAL|correlation" runs/heg_rs1b_r6.log >> "$Q" || true
+  export_commit heg_rs1b "HEG rs=1 corrected-recipe artifacts (r6)"
 fi
 
 # --- stage 7: Li continuation to t=6000 if short ---
