@@ -28,10 +28,18 @@ iters = int(sys.argv[2]) if len(sys.argv) > 2 else 400
 batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
 save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c2_forces"
 bond = float(sys.argv[5]) if len(sys.argv) > 5 else 2.348
+lap_chunk = int(sys.argv[6]) if len(sys.argv) > 6 else 2
 
 cfg = c2_ccecp.get_config(bond_length=bond)
 with cfg.unlocked():
     cfg.batch_size = batch
+    # The force vjp reverse-differentiates through the batched-tangent
+    # kinetic; unchunked, its third-derivative residuals dominate compile-
+    # time HBM (~21G batch-independent — 37.4G at batch 1024 / 25.2G at
+    # 256 both OOM the 15.75G v5e, runs/c2_forces_r5{b,d}.log).
+    # laplacian_chunk scans the per-electron tangent loop, shrinking the
+    # residuals proportionally. 0 disables.
+    cfg.optim.laplacian_chunk = lap_chunk or None
     cfg.network.hidden_dims = ((128, 32),) * 4
     cfg.network.hidden_dims_ynlm = (16, 16, 16, 16)
     cfg.network.determinants = 8
