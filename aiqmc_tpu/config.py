@@ -253,6 +253,12 @@ def default() -> ml_collections.ConfigDict:
             # production pattern is a frozen eval (optimizer="none") on a
             # trained checkpoint rather than logging during optimisation.
             "forces": False,
+            "forces_mode": "rev",   # rev = vjp (fewest FLOPs; its kinetic
+                                    # reverse residuals measure ~21G for C2
+                                    # ccECP — OOMs the 15.75G v5e chip) |
+                                    # fwd = per-coordinate jvp (natoms*ndim
+                                    # forward passes, memory at plain-E_L
+                                    # scale; use on chip)
         },
         "log": {
             "save_path": "",

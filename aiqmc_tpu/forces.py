@@ -48,7 +48,7 @@ from aiqmc_tpu.corrsamples import correlated_samples, weights_jacobian
 from aiqmc_tpu.models.network import AINetData
 
 
-def make_force_samples(signed_network, local_energy):
+def make_force_samples(signed_network, local_energy, mode: str = "rev"):
     """Per-walker AD-SWCT force samples.
 
     Args:
@@ -56,6 +56,16 @@ def make_force_samples(signed_network, local_energy):
       local_energy: fn(params, key, data) -> (E_L, aux); must return a REAL
         scalar per walker (all-electron or ECP molecular Hamiltonians; the
         pair-complex stacked output is not supported here).
+      mode: "rev" (default) differentiates with one vjp per walker — fewest
+        FLOPs (2 backward passes) but stores the full reverse residuals of
+        the kinetic + ECP-quadrature computation, measured at ~21G HBM per
+        compiled program for C2 ccECP on v5e regardless of batch
+        (runs/c2_forces_r5{b,d}.log — does not fit the 15.75G chip).
+        "fwd" pushes one jvp per atom coordinate (natoms*ndim forward
+        passes, serial ``lax.map``): ~(natoms*ndim)/2 x the FLOPs but NO
+        reverse residuals through the third-derivative chain — memory stays
+        at the scale of a plain local-energy evaluation. Use "fwd" on chip
+        whenever "rev" OOMs; both modes are equivalence-tested.
 
     Returns:
       fn(params, key, data, walker_weights=None) ->
@@ -63,6 +73,8 @@ def make_force_samples(signed_network, local_energy):
       ``mean(c_i f_i)/mean(c_i)`` over walkers is the force; reblock the
       samples for error bars.
     """
+    if mode not in ("rev", "fwd"):
+        raise ValueError(f"mode must be 'rev' or 'fwd', got {mode!r}")
 
     def force_samples(params, key, data, walker_weights=None):
         atoms0 = data.atoms
@@ -83,13 +95,28 @@ def make_force_samples(signed_network, local_energy):
                           atoms=new_atoms, charges=data.charges))
             return e_new, w
 
-        def one_walker(pos, subkey):
+        def one_walker_rev(pos, subkey):
             (e0, _), vjp = jax.vjp(
                 lambda new_atoms: e_and_w(new_atoms, pos, subkey), atoms0)
             de = vjp((jnp.ones(()), jnp.zeros(())))[0]
             dw = vjp((jnp.zeros(()), jnp.ones(())))[0]
             return e0, de, dw
 
+        natoms, ndim = atoms0.shape
+        basis = jnp.eye(natoms * ndim).reshape(-1, natoms, ndim)
+
+        def one_walker_fwd(pos, subkey):
+            f = lambda new_atoms: e_and_w(new_atoms, pos, subkey)
+            e0, _ = f(atoms0)
+
+            def dir_deriv(tangent):
+                _, (de_t, dw_t) = jax.jvp(f, (atoms0,), (tangent,))
+                return de_t, dw_t
+
+            de, dw = jax.lax.map(dir_deriv, basis)
+            return (e0, de.reshape(natoms, ndim), dw.reshape(natoms, ndim))
+
+        one_walker = one_walker_rev if mode == "rev" else one_walker_fwd
         e_l, de, dw = jax.vmap(one_walker)(data.positions, keys)
         if walker_weights is None:
             e_bar = jnp.mean(e_l)
@@ -101,13 +128,13 @@ def make_force_samples(signed_network, local_energy):
     return force_samples
 
 
-def make_force(signed_network, local_energy):
+def make_force(signed_network, local_energy, mode: str = "rev"):
     """Batch-mean AD-SWCT force with a naive (uncorrelated-sample) error bar.
 
     Returns fn(params, key, data, walker_weights=None) ->
       (force (natoms, ndim), sem (natoms, ndim), e_l (batch,)).
     """
-    force_samples = make_force_samples(signed_network, local_energy)
+    force_samples = make_force_samples(signed_network, local_energy, mode)
 
     def force(params, key, data, walker_weights=None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -980,7 +980,8 @@ def train(cfg: ml_collections.ConfigDict,
             _cfg_f.optim.laplacian = "default"
             _force_le = _build_local_energy(_cfg_f, network)
             _force_samples = forces_lib.make_force_samples(
-                network.apply, _force_le)
+                network.apply, _force_le,
+                mode=cfg.observables.get("forces_mode", "rev"))
 
             @jax.jit
             def _force_mean(params, subkey, data):

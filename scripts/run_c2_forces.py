@@ -29,6 +29,7 @@ batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
 save = sys.argv[4] if len(sys.argv) > 4 else "/root/repo/runs/c2_forces"
 bond = float(sys.argv[5]) if len(sys.argv) > 5 else 2.348
 lap_chunk = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+force_mode = sys.argv[7] if len(sys.argv) > 7 else "rev"
 
 cfg = c2_ccecp.get_config(bond_length=bond)
 with cfg.unlocked():
@@ -48,6 +49,8 @@ with cfg.unlocked():
     cfg.pretrain.iterations = 0
     cfg.mcmc.burn_in = 200
     cfg.observables.forces = True
+    cfg.observables.forces_mode = force_mode  # "fwd" = per-coordinate jvp
+                                              # (no 21G reverse residuals)
     cfg.log.restore_path = restore
     cfg.log.restore_use_ema = True
     cfg.log.restore_resize = True   # walker population resize on restore

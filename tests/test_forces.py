@@ -184,3 +184,20 @@ def test_evaluate_forces_trims_to_device_multiple():
     f_single, _, _ = force(params, key, trimmed)
     np.testing.assert_allclose(np.asarray(f_mesh), np.asarray(f_single),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_force_fwd_mode_matches_rev():
+    """mode="fwd" (per-coordinate jvp, the on-chip memory path — the rev
+    residuals measure ~21G for C2 ccECP, runs/c2_forces_r5{b,d}.log) must
+    reproduce mode="rev" per-walker samples exactly (same estimator, other
+    AD direction)."""
+    net, params, data, e_l = _h2_net()
+    key = jax.random.PRNGKey(3)
+    fs_rev, e_rev = forces.make_force_samples(net.apply, e_l, "rev")(
+        params, key, data)
+    fs_fwd, e_fwd = forces.make_force_samples(net.apply, e_l, "fwd")(
+        params, key, data)
+    np.testing.assert_allclose(np.asarray(e_fwd), np.asarray(e_rev),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fs_fwd), np.asarray(fs_rev),
+                               rtol=2e-3, atol=2e-4)
